@@ -1,0 +1,208 @@
+"""Entity linking & canonicalization: lemma keys, MinHash-LSH blocking,
+connected components.
+
+Target-only stage (BASELINE.json north rule; the reference stops at
+per-sentence triples). Everything is DataFrame algebra - the MinHash
+signatures are built with JVM-side ``hash``/``transform``/``array_min``
+higher-order functions (no Python, no pyspark.ml Vector boxing), so the
+blocking stage is a pure whole-stage-codegen map followed by one shuffle
+on band keys.
+
+Scale design:
+
+* LSH blocking turns the O(n^2) surface-similarity self-join into a
+  band-bucket equi-join (J7 in SURVEY.md); band buckets are capped
+  (``MAX_BUCKET``) so a degenerate hot bucket cannot blow up the join -
+  the same skew-guard philosophy as the reference's pair caps.
+* Connected components is the hash-partitioned iterative min-label
+  propagation loop (J8); every iteration is join + partial-agg groupBy on
+  the same key, with ``localCheckpoint`` to cut lineage (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+N_BANDS = 8  # 2 rows per band: P(collide) ~= 1-(1-s^2)^8, >0.94 at s=0.55
+SHINGLE = 3
+MAX_BUCKET = 64  # skew guard on a single LSH bucket
+DEFAULT_JACCARD = 0.42
+
+
+def _shingles(col):
+    """Distinct character 3-grams, via sequence+transform (JVM-side)."""
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    n = F.greatest(F.length(padded) - (SHINGLE - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: padded.substr(i, F.lit(SHINGLE)))
+    )
+
+
+def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
+    """df + shingles + one row per (band_idx, band_hash)."""
+    with_sh = df.withColumn("shingles", _shingles(F.col(key)))
+
+    def _mh(i: int):
+        # NB: the HOF lambda must be single-arg - a second parameter would
+        # be bound to the element index by pyspark, not the closure.
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.hash(s, F.lit(i)))
+        ).alias(f"mh{i}")
+
+    sigs = [_mh(i) for i in range(N_HASHES)]
+    with_sig = with_sh.select("*", *sigs)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.hash(
+                F.lit(b),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    out = with_sig.select(
+        key,
+        "shingles",
+        F.posexplode(bands).alias("band_idx", "band_hash"),
+    )
+    return out
+
+
+def lsh_candidate_pairs(
+    entities: DataFrame, key: str = "lemma", jaccard: float = DEFAULT_JACCARD
+) -> DataFrame:
+    """Blocked similarity self-join -> verified pairs (a, b, jaccard)."""
+    banded = add_minhash_bands(entities.select(key).distinct(), key)
+    # skew guard: drop degenerate buckets (cheap windowless approach: count
+    # per bucket, filter) - a bucket with B members yields B^2/2 pairs.
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    banded = banded.join(
+        bucket_sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_idx", "band_hash"]
+    )
+    left = banded.select(
+        "band_idx",
+        "band_hash",
+        F.col(key).alias("a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    right = banded.select(
+        "band_idx",
+        "band_hash",
+        F.col(key).alias("b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(jaccard))
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Iterative min-label propagation -> (id, component).
+
+    ``edges`` may reference string or long ids; components are the
+    minimum id reachable. Each round: neighbor-min join + groupBy on id
+    (co-partitioned), localCheckpoint to cut lineage; stops when no label
+    changed (driver-side count - one scalar per round).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("id", "v"), "v"
+        ).select(F.col("u").alias("id"), "comp")
+        new_labels = (
+            labels.select("id", "comp")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(mentions: DataFrame, jaccard: float = DEFAULT_JACCARD):
+    """mentions -> (node_assignments, nodes).
+
+    node_assignments: (lemma, node_id, canonical)
+    nodes:            (node_id, canonical, surfaces, n_mentions)
+
+    Exact-lemma dedupe is the groupBy; near-duplicate lemmas are merged by
+    LSH edges + connected components; canonical form = lexicographically
+    smallest lemma in the component (deterministic).
+    """
+    lemmas = mentions.groupBy("lemma").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.collect_set("surface").alias("surfaces"),
+    )
+    sim = lsh_candidate_pairs(lemmas, "lemma", jaccard)
+    comp = connected_components(sim, "a", "b")  # only lemmas with neighbors
+    assignments = (
+        lemmas.join(comp.withColumnRenamed("id", "lemma"), "lemma", "left")
+        .withColumn("comp", F.coalesce("comp", "lemma"))
+    )
+    canon = assignments.groupBy("comp").agg(F.min("lemma").alias("canonical"))
+    assignments = assignments.join(canon, "comp")
+    nodes = (
+        assignments.groupBy("canonical")
+        .agg(
+            F.sum("n_mentions").alias("n_mentions"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("surfaces")))
+            ).alias("surfaces"),
+        )
+        .withColumn("node_id", F.xxhash64("canonical"))
+        .select("node_id", "canonical", "surfaces", "n_mentions")
+    )
+    node_assignments = assignments.select(
+        "lemma", F.xxhash64("canonical").alias("node_id"), "canonical"
+    )
+    return node_assignments, nodes
+
+
+def edges_from_triples(triples: DataFrame, node_assignments: DataFrame) -> DataFrame:
+    """triples (subj/obj lemmas) -> aggregated edges over canonical nodes.
+    Two broadcast-able joins against the assignment dim + one groupBy."""
+    na = F.broadcast(node_assignments.select("lemma", "node_id"))
+    return (
+        triples.join(na.withColumnRenamed("lemma", "subj").withColumnRenamed("node_id", "src"), "subj")
+        .join(na.withColumnRenamed("lemma", "obj").withColumnRenamed("node_id", "dst"), "obj")
+        .groupBy("src", "dst", "pred")
+        .agg(F.count(F.lit(1)).alias("n_evidence"))
+    )

@@ -1,0 +1,155 @@
+"""Pairwise relation-candidate generation + positional-marker insertion.
+
+The reference's only quadratic operator (readers.py:496-534 explode,
+J5 in SURVEY.md): every sentence is replicated once per candidate entity
+pair, with ``<e1>..</e1> <e2>..</e2>`` markers inserted. Faithfully
+capped: NO_RELATION augmentation only for ``1 < n_entities < 15``
+(readers.py:496); both caps are the skew guards that keep hot pages
+bounded at scale.
+
+Spark shape:
+
+    page_relations groupBy(url) -> per-doc relation list     (shuffle 1)
+    sentences  JOIN  rel lists  ON url                       (same keys)
+    groupBy(url).applyInPandas(doc kernel)                   (co-partitioned)
+
+The join and the grouped-map run on the same hash partitioning (url), so
+Catalyst plans a single exchange. The kernel is the reference-exact
+document loop from functions/kernels.py - NO_RELATION pairs discovered in
+one sentence persist for later sentences of the same document, which is
+why the grouping key must be the document, not the sentence.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions.kernels import (
+    NO_RELATION,
+    augment_no_relations,
+    explode_pairs_inline,
+)
+from ..functions.tokenizer import DeterministicTokenizer
+
+# generic IOB label vocabulary for the synthetic channels; only used for
+# the marker label surgery's id lookups (insert_positional_tokens).
+def default_labels_map(channels=None):
+    from ..functions.kernels import mk_labels_map
+
+    channels = channels or [
+        "person_nam",
+        "city_nam",
+        "country_nam",
+        "org_nam",
+        "facility_nam",
+        "ENT",
+    ]
+    return mk_labels_map(channels, "iob")
+
+
+def _detok(tokens):
+    from ..functions.tokenizer import WORD_MARKER
+
+    return "".join(
+        (" " + t[1:]) if t.startswith(WORD_MARKER) else t for t in tokens
+    ).strip()
+
+
+def generate_pairs(
+    sentences: DataFrame,
+    page_relations: DataFrame,
+    labels_map: dict | None = None,
+    add_no_relations: bool = True,
+    keep_no_relation_rows: bool = True,
+) -> DataFrame:
+    """SENTENCES + PAGE_RELATIONS -> PAIRS (one row per candidate pair)."""
+    labels_map = labels_map or default_labels_map()
+
+    rels_by_url = page_relations.groupBy("url").agg(
+        F.sort_array(
+            F.collect_list(F.struct("e1_id", "e2_id", "rel_class"))
+        ).alias("rels")
+    )
+    joined = sentences.join(rels_by_url, "url", "left")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tokenizer = DeterministicTokenizer()
+        # Doc-level mutable relation dict (the reference mutates
+        # raw_relations across a document's sentences, readers.py:427).
+        # The input partition is hash-partitioned AND sorted by
+        # (url, sent_idx), so one document's rows are contiguous even
+        # across Arrow batch boundaries - state lives across batches.
+        cur_url: str | None = None
+        cur_rels: dict = {}
+        for pdf in batches:
+            out = {f.name: [] for f in schemas.PAIRS.fields}
+            for row in pdf.itertuples(index=False):
+                url = row.url
+                if url != cur_url:
+                    cur_url = url
+                    cur_rels = {}
+                    rels = row.rels
+                    if rels is not None and len(rels):
+                        for r in rels:
+                            cur_rels[(r["e1_id"], r["e2_id"])] = r["rel_class"]
+                potential = cur_rels
+                entity_ids = list(row.entity_ids)
+                uniq = {e for e in entity_ids if e is not None}
+                if add_no_relations:
+                    augment_no_relations(uniq, potential)
+                exploded = explode_pairs_inline(
+                    tokens=list(row.tokens),
+                    token_ids=list(row.token_ids),
+                    entities=list(row.entities),
+                    entity_ids=entity_ids,
+                    potential_rels=potential,
+                    tokenizer=tokenizer,
+                    entity_labels_map=labels_map,
+                    entity_encoding_scheme="iob",
+                    positional_tokens="scheme_1",
+                )
+                for ex in exploded:
+                    info = ex["relation_info"]
+                    gold = info.get("relation_class")
+                    if gold == NO_RELATION and not keep_no_relation_rows:
+                        continue
+                    # pre-insertion spans for surfaces/between-text (robust
+                    # regardless of marker-arithmetic edge cases)
+                    eids = entity_ids
+                    e1_beg = eids.index(ex["e1_id"])
+                    e1_end = len(eids) - eids[::-1].index(ex["e1_id"]) - 1
+                    e2_beg = eids.index(ex["e2_id"])
+                    e2_end = len(eids) - eids[::-1].index(ex["e2_id"]) - 1
+                    toks0 = list(row.tokens)
+                    lo, hi = min(e1_end, e2_end), max(e1_beg, e2_beg)
+                    out["url"].append(url)
+                    out["sent_idx"].append(row.sent_idx)
+                    out["e1_id"].append(ex["e1_id"])
+                    out["e2_id"].append(ex["e2_id"])
+                    out["tokens"].append(ex["tokens"])
+                    out["token_ids"].append(ex["token_ids"])
+                    out["entities"].append(
+                        [e if e is not None else "O" for e in ex["entities"]]
+                    )
+                    out["e1_beg"].append(info.get("e1_beg"))
+                    out["e1_end"].append(info.get("e1_end"))
+                    out["e2_beg"].append(info.get("e2_beg"))
+                    out["e2_end"].append(info.get("e2_end"))
+                    out["gold_class"].append(gold)
+                    out["e1_surface"].append(_detok(toks0[e1_beg : e1_end + 1]))
+                    out["e2_surface"].append(_detok(toks0[e2_beg : e2_end + 1]))
+                    out["between_text"].append(_detok(toks0[lo + 1 : hi]))
+            yield pd.DataFrame(out)
+
+    # group all sentences of a document into one partition slice: the
+    # repartition keys the mapInPandas input by url so the doc-level
+    # relation dict sees every sentence of the doc (sorted inside kernel).
+    grouped = joined.repartition(F.col("url")).sortWithinPartitions(
+        "url", "sent_idx"
+    )
+    return grouped.mapInPandas(kernel, schema=schemas.PAIRS)

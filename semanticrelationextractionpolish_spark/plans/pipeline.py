@@ -1,0 +1,100 @@
+"""End-to-end KG-construction plan.
+
+One declarative lifecycle for the whole reference dataflow (SURVEY.md §3
+restatement): scan -> filter -> extract -> segment/tag -> pairs ->
+score -> triples -> link -> materialize. Each stage returns a DataFrame;
+``build_kg`` wires them with optional per-stage parquet checkpoints
+(resume = skip completed stages).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract
+from ..operators.linking import canonicalize, edges_from_triples
+from ..operators.materialize import checkpoint_parquet
+from ..operators.mentions import mentions_from_sentences
+from ..operators.pairs import generate_pairs
+from ..operators.score import (
+    precision_recall,
+    score_pairs,
+    triples_from_scored,
+)
+from ..operators.segment import segment_and_tag
+
+
+def build_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    page_relations: DataFrame,
+    lang: str = "pl",
+    checkpoint_dir: str | None = None,
+    add_no_relations: bool = True,
+) -> dict:
+    """Run the full pipeline; returns a dict of stage DataFrames."""
+
+    def ckpt(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir:
+            return checkpoint_parquet(df, os.path.join(checkpoint_dir, name))
+        return df
+
+    # language filter FIRST - a catalyst-pushable predicate that prunes
+    # ~x% of the scan before any Python runs (F1 in SURVEY.md §2.2)
+    pl_pages = pages.where(F.col("lang") == lang)
+    extracted = extract(pl_pages)
+    sentences = ckpt(
+        segment_and_tag(extracted, text_col="extracted_text"), "sentences"
+    )
+    mentions = ckpt(mentions_from_sentences(sentences), "mentions")
+    pairs = ckpt(
+        generate_pairs(
+            sentences, page_relations, add_no_relations=add_no_relations
+        ),
+        "pairs",
+    )
+    scored = score_pairs(pairs)
+    triples = ckpt(triples_from_scored(scored), "triples")
+    node_assignments, nodes = canonicalize(mentions)
+    nodes = ckpt(nodes, "nodes")
+    edges = ckpt(edges_from_triples(triples, node_assignments), "edges")
+    return {
+        "pages": pl_pages,
+        "extracted": extracted,
+        "sentences": sentences,
+        "mentions": mentions,
+        "pairs": pairs,
+        "scored": scored,
+        "triples": triples,
+        "node_assignments": node_assignments,
+        "nodes": nodes,
+        "edges": edges,
+    }
+
+
+def gold_triples(scored_pairs: DataFrame) -> DataFrame:
+    """The reference-parity gold set: annotated (non-augmented) pairs with
+    their gold class - what the reference's positive path emits."""
+    from ..functions.lemmatize import lemma_col
+
+    return scored_pairs.where(
+        F.col("gold_class").isNotNull() & (F.col("gold_class") != "NO_RELATION")
+    ).select(
+        "url",
+        "sent_idx",
+        lemma_col(F.col("e1_surface")).alias("subj"),
+        F.col("gold_class").alias("pred"),
+        lemma_col(F.col("e2_surface")).alias("obj"),
+        F.col("e1_id").alias("subj_id"),
+        F.col("e2_id").alias("obj_id"),
+    )
+
+
+def evaluate_parity(stages: dict) -> dict:
+    """Micro P/R of predicted triples vs the reference gold set."""
+    pred = stages["triples"]
+    gold = gold_triples(stages["scored"])
+    return precision_recall(pred, gold)

@@ -1,0 +1,208 @@
+"""End-to-end Spark pipeline tests on the deterministic synthetic corpus,
+cross-checked against the plain-Python document oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semanticrelationextractionpolish_spark.functions import kernels as K
+from semanticrelationextractionpolish_spark.functions.tokenizer import (
+    DeterministicTokenizer,
+    sent_tokenize,
+)
+from semanticrelationextractionpolish_spark.operators.extract import extract
+from semanticrelationextractionpolish_spark.operators.mentions import (
+    mentions_from_sentences,
+)
+from semanticrelationextractionpolish_spark.operators.pairs import (
+    default_labels_map,
+    generate_pairs,
+)
+from semanticrelationextractionpolish_spark.operators.score import (
+    score_pairs,
+    triples_from_scored,
+)
+from semanticrelationextractionpolish_spark.operators.segment import segment_and_tag
+from semanticrelationextractionpolish_spark.operators.vocab import (
+    entity_label_vocab,
+    relation_vocab,
+)
+from semanticrelationextractionpolish_spark.plans.pipeline import (
+    build_kg,
+    evaluate_parity,
+)
+from semanticrelationextractionpolish_spark.sources.synth import (
+    synth_pages,
+    synth_pages_local,
+)
+
+N_PAGES = 50
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages, rels = synth_pages(spark, N_PAGES)
+    return pages.cache(), rels.cache()
+
+
+@pytest.fixture(scope="module")
+def stages(spark, corpus):
+    pages, rels = corpus
+    return build_kg(spark, pages, rels)
+
+
+def test_extraction_byte_identical(corpus):
+    pages, _ = corpus
+    ext = extract(pages, validate=True)
+    bad = ext.where(~F.col("extraction_ok")).count()
+    assert bad == 0  # driver invariant: byte-identical text per url
+
+
+def test_language_filter(stages, corpus):
+    pages, _ = corpus
+    n_pl = pages.where("lang = 'pl'").count()
+    assert stages["pages"].count() == n_pl
+    assert 0 < n_pl < N_PAGES  # corpus really contains non-pl pages
+
+
+def test_sentence_counts_match_oracle(stages):
+    local_pages, _ = synth_pages_local(N_PAGES)
+    expected = {
+        p["url"]: len(sent_tokenize(p["text"]))
+        for p in local_pages
+        if p["lang"] == "pl"
+    }
+    got = {
+        r["url"]: r["n"]
+        for r in stages["sentences"]
+        .groupBy("url")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_pairs_match_document_oracle(stages):
+    """The Spark pair-explode must equal the plain-Python doc-level oracle
+    row-for-row (marked token sequences included)."""
+    local_pages, local_rels = synth_pages_local(N_PAGES)
+    raw_relations = {}
+    for r in local_rels:
+        raw_relations.setdefault(r["url"], {})[(r["e1_id"], r["e2_id"])] = r[
+            "rel_class"
+        ]
+    tok = DeterministicTokenizer()
+    labels_map = default_labels_map()
+    expected = set()
+    for p in local_pages:
+        if p["lang"] != "pl":
+            continue
+        rows = K.process_document_inline(
+            doc_id=p["url"],
+            doc_text=p["text"],
+            tokenizer=tok,
+            raw_relations=raw_relations,
+            entity_labels_map=labels_map,
+            use_entity_classes=True,
+            add_no_relations=True,
+        )
+        for r in rows:
+            if r["e1_id"] is None:
+                continue
+            expected.add(
+                (
+                    p["url"],
+                    r["sent_idx"],
+                    r["e1_id"],
+                    r["e2_id"],
+                    tuple(r["tokens"]),
+                    r["relation_info"].get("relation_class"),
+                )
+            )
+    got = set()
+    for r in stages["pairs"].collect():
+        got.add(
+            (
+                r["url"],
+                r["sent_idx"],
+                r["e1_id"],
+                r["e2_id"],
+                tuple(r["tokens"]),
+                r["gold_class"],
+            )
+        )
+    assert got == expected
+
+
+def test_cross_sentence_relations_dropped(stages, corpus):
+    """Annotated pairs spanning sentences never become pair rows
+    (readers.py:510 containment rule)."""
+    _, rels = corpus
+    pairs = stages["pairs"].select("e1_id", "e2_id").distinct()
+    annotated = rels.select("e1_id", "e2_id").distinct()
+    # the synthetic corpus plants cross-sentence annotations on idx%11==3
+    # pages; those ids must not co-occur in any pair row
+    local_pages, local_rels = synth_pages_local(N_PAGES)
+    seen = {(r["e1_id"], r["e2_id"]) for r in stages["pairs"].collect()}
+    planted = [
+        (local_rels[i]["e1_id"], local_rels[i]["e2_id"])
+        for i in range(len(local_rels))
+    ]
+    # cross-sentence = annotated pair whose ids have different mention
+    # counters belonging to different sentences; verified via the oracle in
+    # test_pairs_match_document_oracle - here just check at least one
+    # annotated pair was dropped
+    dropped = set(planted) - seen
+    assert dropped, "expected at least one cross-sentence annotation dropped"
+
+
+def test_pair_cap_page(stages):
+    """Pages with a 16-entity sentence must not explode quadratically:
+    augmentation is skipped at >=15 entities (readers.py:496)."""
+    big = stages["sentences"].where(F.col("n_entities") >= 15)
+    if big.count() == 0:
+        pytest.skip("no cap-edge page in this corpus slice")
+    urls = [r["url"] for r in big.select("url").distinct().collect()]
+    for u in urls:
+        sent_rows = (
+            stages["pairs"].where((F.col("url") == u)).count()
+        )
+        # without the cap a 16-entity sentence alone would yield 120 pairs
+        assert sent_rows < 120
+
+
+def test_parity_p_r(stages):
+    parity = evaluate_parity(stages)
+    assert parity["precision"] >= 0.95
+    assert parity["recall"] >= 0.95
+
+
+def test_mentions_surface_and_lemma(stages):
+    m = stages["mentions"]
+    rows = m.where(F.col("surface") == "").count()
+    assert rows == 0
+    one = m.where(F.col("entity_class") == "city_nam").first()
+    assert one is not None and one["lemma"]
+
+
+def test_vocab_tables(spark, stages, corpus):
+    _, rels = corpus
+    ev = entity_label_vocab(stages["mentions"]).collect()
+    by_label = {r["label"]: r["label_id"] for r in ev}
+    assert by_label["O"] == 0
+    # IOB doubling in sorted channel order
+    chans = sorted({r["label"][2:] for r in ev if r["label"] != "O"})
+    for i, c in enumerate(chans):
+        assert by_label[f"B-{c}"] == 1 + 2 * i
+        assert by_label[f"I-{c}"] == 2 + 2 * i
+    rv = {r["rel_class"]: r["rel_id"] for r in relation_vocab(rels).collect()}
+    assert rv["NO_RELATION"] == 0
+    assert len(set(rv.values())) == len(rv)
+
+
+def test_triples_deterministic_across_runs(spark, corpus):
+    pages, rels = corpus
+    s1 = build_kg(spark, pages, rels)
+    s2 = build_kg(spark, pages, rels)
+    t1 = {tuple(r) for r in s1["triples"].collect()}
+    t2 = {tuple(r) for r in s2["triples"].collect()}
+    assert t1 == t2
