@@ -1,0 +1,247 @@
+"""Deduplication operators for web-scale training corpora.
+
+Four families, each a ``documents``-table DataFrame op:
+
+* exact (md5-of-normalized-text groupBy) - 1 shuffle, SQL-oracle exact;
+* n-gram Jaccard near-dup (shingle inverted-index join) - the classic
+  candidate-pair + verify plan with frequency-capped shingles as the
+  skew guard;
+* MinHash-LSH near-dup (reuses linking's band machinery over *word*
+  shingles) - the sub-quadratic scale path;
+* SimHash (64-bit hamming fingerprint, banded for blocking).
+
+At 100 TB: exact dedup is a straight hash-aggregate; LSH/SimHash block
+to near-linear candidate counts; the raw n-gram join exists mainly as
+the verification oracle for the LSH path on small slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(text_col):
+    return F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized content: the keeper (min doc_id)
+    plus the duplicate count."""
+    keyed = df.select(
+        "doc_id", F.md5(_norm(F.col(text_col))).alias("content_md5")
+    )
+    return (
+        keyed.groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_ngrams(text_col, n: int = 3):
+    toks = F.split(_norm(text_col), " ")
+    cnt = F.size(toks) - (n - 1)
+    # NB: sequence(1, 0) would generate a DESCENDING sequence - guard the
+    # short-document case with an explicit empty array
+    grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_ngram_df: int = 1000,
+) -> DataFrame:
+    """All doc pairs with word-``n``-gram Jaccard >= threshold.
+
+    Plan: explode distinct n-grams -> drop n-grams appearing in more than
+    ``max_ngram_df`` docs (stopword-shingle skew guard - they cannot be
+    discriminative and would quadratically blow up the join) -> self-join
+    the inverted index -> count shared shingles -> verify Jaccard with
+    per-doc shingle counts.
+    """
+    sized = df.select(
+        "doc_id", word_ngrams(F.col(text_col), n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    inv = sized.select(
+        "doc_id", "n_grams", F.explode("grams").alias("gram")
+    )
+    gram_df = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    inv = inv.join(gram_df.where(F.col("gdf") <= max_ngram_df), "gram")
+    a = inv.select(
+        F.col("gram"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_grams").alias("na"),
+    )
+    b = inv.select(
+        F.col("gram"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_grams").alias("nb"),
+    )
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    jaccard: float = 0.7,
+) -> DataFrame:
+    """MinHash-banded near-duplicate candidates, Jaccard-verified: the
+    scale path (candidates ~ linear in corpus size)."""
+    from .linking import lsh_candidate_pairs
+
+    grams = df.select(
+        F.col("doc_id").cast("string").alias("lemma"),
+        word_ngrams(F.col(text_col), n).alias("shingles"),
+    )
+    # reuse the band join but with precomputed word shingles: inline a
+    # variant here to avoid re-shingling characters
+    from .linking import MAX_BUCKET, N_BANDS, N_HASHES
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.hash(s, F.lit(i)))
+        ).alias(f"mh{i}")
+
+    with_sig = grams.select("lemma", "shingles", *[_mh(i) for i in range(N_HASHES)])
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.hash(
+                F.lit(bnd),
+                *[F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for bnd in range(N_BANDS)
+        ]
+    )
+    banded = with_sig.select(
+        "lemma", "shingles", F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    banded = banded.join(sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_idx", "band_hash"])
+    left = banded.select(
+        "band_idx", "band_hash", F.col("lemma").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    right = banded.select(
+        "band_idx", "band_hash", F.col("lemma").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("doc_a").cast("long") < F.col("doc_b").cast("long"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard)
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: sign of the per-bit sum of token
+    hashes. Pure Column algebra - per bit, sum(+-1 per token) via
+    aggregate over xxhash64(token) bit tests."""
+    toks = F.split(_norm(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+
+    def bit_col(i: int):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.shiftleft(bit_col(i), i)
+    return df.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 6
+) -> DataFrame:
+    """Banded SimHash blocking: 4 x 16-bit bands; a pair within hamming
+    distance <= 6 of a 64-bit hash must agree on at least one band
+    (pigeonhole when distance < 4 bands); verified exactly with
+    bit_count(xor)."""
+    sh = simhash(df, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band_idx", "b.band_val"
+    )
+    a = banded.select(
+        "band_idx",
+        "band_val",
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    b = banded.select(
+        "band_idx",
+        "band_val",
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The materializing form of exact dedup: keep the smallest doc_id
+    per content group (window row_number == 1)."""
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        df.withColumn("content_md5", F.md5(_norm(F.col(text_col))))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
