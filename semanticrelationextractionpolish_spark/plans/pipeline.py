@@ -34,12 +34,23 @@ def build_kg(
     lang: str = "pl",
     checkpoint_dir: str | None = None,
     add_no_relations: bool = True,
+    persist: bool = True,
 ) -> dict:
-    """Run the full pipeline; returns a dict of stage DataFrames."""
+    """Run the full pipeline; returns a dict of stage DataFrames.
+
+    Fan-out stages (sentences feeds both mentions and pairs; triples feeds
+    both the parity harness and edges) are persisted MEMORY_AND_DISK so a
+    multi-action run computes each NLP stage exactly once - the in-memory
+    analog of the production stage-checkpoint tables (``checkpoint_dir``
+    replaces persistence with durable parquet when set).
+    """
+    from pyspark import StorageLevel
 
     def ckpt(df: DataFrame, name: str) -> DataFrame:
         if checkpoint_dir:
             return checkpoint_parquet(df, os.path.join(checkpoint_dir, name))
+        if persist:
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
         return df
 
     # language filter FIRST - a catalyst-pushable predicate that prunes

@@ -1,0 +1,343 @@
+"""KPWr corpus sources (S3/S4/S5 + the multi-entity tagging path U3/U5).
+
+The reference walks directories with os.walk, parses token-level XML with
+BeautifulSoup, and filters to documents whose ``.rel.xml`` contains
+Semantic-relations annotations (/root/reference/DataProvider.py:251-299,
+readers.py:549-675). Spark restatement:
+
+* file scan: ``spark.read.text(wholetext)`` + ``input_file_name`` - the
+  relevant-paths pruning (S3) is a plain filter on the rel content
+  BEFORE the expensive tagging stage (the reference's only "partition
+  pruning", subsumed by Catalyst predicate pushdown once the corpus is a
+  table);
+* XML walk: a regex-based pull parser inside a ``mapInPandas`` kernel
+  (bs4 is unavailable and a DOM is unnecessary - KPWr token XML is
+  strictly nested);
+* IOB over multi-entity channels: the running-set diff kernel
+  (functions/kernels semantics of readers.py:574-643);
+* per-relation explode: ``kpwr_multientities_to_relations`` from
+  functions/kernels.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SENT_RE = re.compile(r'<sentence id="(.*?)">(.*?)</sentence>', re.S)
+TOK_RE = re.compile(r"<tok>(.*?)</tok>", re.S)
+ORTH_RE = re.compile(r"<orth>(.*?)</orth>", re.S)
+ANN_RE = re.compile(r'<ann chan="(.*?)"[^>]*>(\d+)</ann>')
+# match each <rel> block, then inspect its attributes separately - a
+# single combined pattern with re.S can backtrack across tag boundaries
+REL_BLOCK_RE = re.compile(r"<rel\b([^>]*)>(.*?)</rel>", re.S)
+NAME_ATTR_RE = re.compile(r'name="(.*?)"')
+SET_ATTR_RE = re.compile(r'set="(.*?)"')
+FROMTO_RE = re.compile(
+    r'<(from|to) sent="(.*?)" chan="(.*?)">(\d+)</\1>'
+)
+
+KPWR_SENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("sent_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.StringType()), True),
+        T.StructField("token_ids", T.ArrayType(T.IntegerType()), True),
+        T.StructField(
+            "multientities", T.ArrayType(T.ArrayType(T.StringType())), True
+        ),
+        T.StructField(
+            "multientity_ids", T.ArrayType(T.ArrayType(T.IntegerType())), True
+        ),
+    ]
+)
+
+KPWR_RELS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("sent_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("from_chan", T.StringType(), True),
+        T.StructField("from_val", T.StringType(), True),
+        T.StructField("to_chan", T.StringType(), True),
+        T.StructField("to_val", T.StringType(), True),
+        T.StructField("same_sentence", T.BooleanType(), True),
+    ]
+)
+
+
+def read_kpwr_docs(spark: SparkSession, glob: str) -> DataFrame:
+    """Whole-file read of doc XMLs; doc_id = {parent}_{basename}
+    (DataProvider.py:297)."""
+    return (
+        spark.read.text(glob, wholetext=True)
+        .withColumn("path", F.input_file_name())
+        .select(
+            F.regexp_replace(
+                F.regexp_extract("path", r"([^/]+/[^/]+)$", 1), "/", "_"
+            ).alias("doc_id"),
+            F.col("value").alias("xml"),
+        )
+    )
+
+
+def kpwr_relations(docs_rels: DataFrame) -> DataFrame:
+    """Parse .rel.xml blobs -> normalized relation rows. ``docs_rels`` has
+    (doc_id, xml). Same-sentence + *_nam filtering (F4,
+    readers_kpwr.py:208-212) is a plain Column predicate downstream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["xml"]):
+                for m in REL_BLOCK_RE.finditer(xml or ""):
+                    attrs, body = m.group(1), m.group(2)
+                    set_m = SET_ATTR_RE.search(attrs)
+                    name_m = NAME_ATTR_RE.search(attrs)
+                    if not set_m or set_m.group(1) != "Semantic relations":
+                        continue  # readers_kpwr.py:208 set filter
+                    if not name_m:
+                        continue
+                    name = name_m.group(1)
+                    ft = {x.group(1): x for x in FROMTO_RE.finditer(body)}
+                    f, t = ft.get("from"), ft.get("to")
+                    if not f or not t:
+                        continue
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "sent_id": f.group(2),
+                            "name": name,
+                            "from_chan": f.group(3),
+                            "from_val": f.group(4),
+                            "to_chan": t.group(3),
+                            "to_val": t.group(4),
+                            "same_sentence": f.group(2) == t.group(2),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in KPWR_RELS.fields])
+
+    return docs_rels.mapInPandas(kernel, schema=KPWR_RELS)
+
+
+def kpwr_relevant_docs(docs: DataFrame, rels_docs: DataFrame) -> DataFrame:
+    """S3: keep only documents whose rel file has >=1 Semantic-relations
+    annotation (DataProvider.py:251-264) - a semi-join, not a scan loop."""
+    having = rels_docs.where(
+        F.col("xml").contains('set="Semantic relations"')
+    ).select("doc_id")
+    return docs.join(having, "doc_id", "left_semi")
+
+
+def kpwr_label_vocab(docs: DataFrame, entity_encoding_scheme: str = "iob") -> DataFrame:
+    """S4 (readers_kpwr.py:14-95): count ``<ann chan="*_nam">`` per channel
+    over the corpus, assign dense ids in sorted order with IOB/BILOU
+    expansion, O pinned to 0 - as one aggregation + tiny window instead of
+    a serial BeautifulSoup walk."""
+    from pyspark.sql import Window
+
+    chans = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(xml, '<ann chan=\"(.*?)\"', 1)")
+            ).alias("chan")
+        )
+        .where(F.col("chan").endswith("_nam"))
+        .groupBy("chan")
+        .agg(F.count(F.lit(1)).alias("n_anns"))
+    )
+    prefixes = {"iob": ["B-", "I-"], "bilou": ["B-", "I-", "L-", "U-"], None: [""]}[
+        entity_encoding_scheme
+    ]
+    k = len(prefixes)
+    w = Window.orderBy("chan")
+    ranked = chans.withColumn("rank", F.row_number().over(w) - 1)
+    expanded = ranked.select(
+        F.posexplode(F.array(*[F.lit(p) for p in prefixes])).alias("pos", "pfx"),
+        "chan",
+        "rank",
+        "n_anns",
+    ).select(
+        F.concat("pfx", "chan").alias("label"),
+        (F.lit(1) + F.col("rank") * k + F.col("pos")).cast("int").alias("label_id"),
+        "n_anns",
+    )
+    o_row = docs.sparkSession.createDataFrame(
+        [("O", 0, 0)], "label string, label_id int, n_anns long"
+    )
+    return o_row.unionByName(expanded)
+
+
+def kpwr_relation_vocab(rels: DataFrame, add_no_rels: bool = True) -> DataFrame:
+    """Relation names sorted, NO_RELATION pinned to 0
+    (readers_kpwr.py:79-88)."""
+    from pyspark.sql import Window
+
+    base = 1 if add_no_rels else 0
+    distinct = rels.select("name").distinct().where(F.col("name") != "NO_RELATION")
+    ranked = distinct.withColumn(
+        "rel_id", (F.row_number().over(Window.orderBy("name")) - 1 + base).cast("int")
+    ).withColumnRenamed("name", "rel_class")
+    if add_no_rels:
+        nr = rels.sparkSession.createDataFrame(
+            [("NO_RELATION", 0)], "rel_class string, rel_id int"
+        )
+        return nr.unionByName(ranked)
+    return ranked
+
+
+def kpwr_tag_sentences(docs: DataFrame, labels_map: dict) -> DataFrame:
+    """U3: token walk + multi-entity IOB via running-set diff
+    (readers.py:574-643 semantics, regex pull parser instead of bs4)."""
+    from ..functions.kernels import get_kpwr_entity_id_from_indexed_label
+    from ..functions.tokenizer import DeterministicTokenizer
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tokenizer = DeterministicTokenizer()
+        for pdf in batches:
+            out = {f.name: [] for f in KPWR_SENTS.fields}
+            for doc_id, xml in zip(pdf["doc_id"], pdf["xml"]):
+                for sm in SENT_RE.finditer(xml or ""):
+                    sent_id, body = sm.group(1), sm.group(2)
+                    toks, tids, ments, mids = [], [], [], []
+                    running = set()
+                    for tm in TOK_RE.finditer(body):
+                        tok_body = tm.group(1)
+                        orth_m = ORTH_RE.search(tok_body)
+                        if not orth_m:
+                            continue
+                        res = tokenizer.tokenize(orth_m.group(1))
+                        here = {
+                            f"{chan}-{val}"
+                            for chan, val in ANN_RE.findall(tok_body)
+                            if chan.endswith("_nam") and int(val) > 0
+                        }
+                        begins = here - running
+                        continues = here & running
+                        for si in range(len(res["tokens"])):
+                            labels = []
+                            if si == 0:
+                                labels += [f"B-{t}" for t in sorted(begins)]
+                                labels += [f"I-{t}" for t in sorted(continues)]
+                            else:
+                                labels += [
+                                    f"I-{t}" for t in sorted(begins | continues)
+                                ]
+                            if not labels:
+                                labels = ["O"]
+                            ments.append(labels)
+                            mids.append(
+                                [
+                                    get_kpwr_entity_id_from_indexed_label(
+                                        l, labels_map, "iob"
+                                    )
+                                    for l in labels
+                                ]
+                            )
+                        toks.extend(res["tokens"])
+                        tids.extend(res["token_ids"])
+                        running = here
+                    out["doc_id"].append(doc_id)
+                    out["sent_id"].append(sent_id)
+                    out["tokens"].append(toks)
+                    out["token_ids"].append(tids)
+                    out["multientities"].append(ments)
+                    out["multientity_ids"].append(mids)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, schema=KPWR_SENTS)
+
+
+def kpwr_explode_relations(
+    sentences: DataFrame,
+    relations: DataFrame,
+    labels_map: dict,
+    rels_map: dict,
+    add_no_relations: bool = False,
+    retain_natural_no_rels: bool = True,
+) -> DataFrame:
+    """U5: per-relation sentence explode with overlap skip and seeded
+    negatives - sentences equi-join relations on (doc_id, sent_id) (J2:
+    the reference's O(n*m) per-sentence rel scan becomes a hash join),
+    then the kernel emits one row per surviving pair."""
+    from ..functions.kernels import kpwr_multientities_to_relations
+    from ..functions.tokenizer import SPECIAL_TOKEN_IDS
+
+    rel_struct = F.struct("name", "from_chan", "from_val", "to_chan", "to_val")
+    rels_by_sent = (
+        relations.where(
+            F.col("same_sentence")
+            & F.col("from_chan").endswith("_nam")
+            & F.col("to_chan").endswith("_nam")
+        )
+        .groupBy("doc_id", "sent_id")
+        .agg(F.sort_array(F.collect_list(rel_struct)).alias("rels"))
+    )
+    joined = sentences.join(rels_by_sent, ["doc_id", "sent_id"], "left")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("sent_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.StringType()), True),
+            T.StructField("token_ids", T.ArrayType(T.IntegerType()), True),
+            T.StructField("entities", T.ArrayType(T.StringType()), True),
+            T.StructField("entity_ids", T.ArrayType(T.IntegerType()), True),
+            T.StructField("relation_class", T.StringType(), True),
+            T.StructField("relation_class_id", T.IntegerType(), True),
+            T.StructField("e1_beg", T.IntegerType(), True),
+            T.StructField("e1_end", T.IntegerType(), True),
+            T.StructField("e2_beg", T.IntegerType(), True),
+            T.StructField("e2_end", T.IntegerType(), True),
+            T.StructField("n_overlap_skipped", T.IntegerType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for row in pdf.itertuples(index=False):
+                rel_list = (
+                    [dict(r.asDict()) if hasattr(r, "asDict") else dict(r) for r in row.rels]
+                    if row.rels is not None and len(row.rels)
+                    else []
+                )
+                try:
+                    rows, skipped = kpwr_multientities_to_relations(
+                        sentence_id=row.sent_id,
+                        relevant_relations=rel_list,
+                        tokens=list(row.tokens),
+                        token_ids=list(row.token_ids),
+                        multientities=[list(x) for x in row.multientities],
+                        multientity_ids=[list(x) for x in row.multientity_ids],
+                        entity_labels_map=labels_map,
+                        relations_map=rels_map,
+                        special_token_ids=SPECIAL_TOKEN_IDS,
+                        add_no_relations=add_no_relations,
+                        retain_natural_no_rels=retain_natural_no_rels,
+                    )
+                except Exception:
+                    continue  # NoRelevantRelations when not retained
+                for r in rows:
+                    info = r["relation_info"]
+                    out["doc_id"].append(row.doc_id)
+                    out["sent_id"].append(row.sent_id)
+                    out["tokens"].append(r["tokens"])
+                    out["token_ids"].append(r["token_ids"])
+                    out["entities"].append(r["entities"])
+                    out["entity_ids"].append(r["entity_ids"])
+                    out["relation_class"].append(info.get("relation_class"))
+                    out["relation_class_id"].append(info.get("relation_class_id"))
+                    out["e1_beg"].append(info.get("e1_beg"))
+                    out["e1_end"].append(info.get("e1_end"))
+                    out["e2_beg"].append(info.get("e2_beg"))
+                    out["e2_end"].append(info.get("e2_end"))
+                    out["n_overlap_skipped"].append(skipped)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(kernel, schema=schema)

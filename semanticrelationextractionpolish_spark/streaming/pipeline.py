@@ -1,0 +1,82 @@
+"""Structured-Streaming ingestion for the KG pipeline.
+
+The reference has no streaming (SURVEY.md §2.10) and the north rule is
+batch-with-checkpoints; this module exists for the continuous-ingestion
+deployment mode: new page files land in a directory (the streaming
+analog of new Iceberg snapshots), each micro-batch runs the SAME batch
+operators via ``foreachBatch``, and exactly-once progress is delegated
+to the streaming checkpoint. Late data is handled with an event-time
+watermark on ``warc_ts`` for the windowed rate aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+def read_page_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def page_rate_by_lang(pages_stream: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Watermarked windowed counts - the streaming-health metric table."""
+    return (
+        pages_stream.withWatermark("warc_ts", "1 day")
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "n_pages",
+        )
+    )
+
+
+def stream_triples(
+    spark: SparkSession,
+    input_dir: str,
+    relations_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental triple extraction: every micro-batch of new pages runs
+    the batch stages (segment -> pairs -> score) against the static
+    relations table and appends to the triples sink. Returns the started
+    StreamingQuery (caller awaits termination)."""
+    from ..operators.pairs import generate_pairs
+    from ..operators.score import score_pairs, triples_from_scored
+    from ..operators.segment import segment_and_tag
+
+    static_rels = spark.read.parquet(relations_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        pl = batch_df.where(F.col("lang") == "pl")
+        if pl.isEmpty():
+            return
+        sents = segment_and_tag(pl)
+        pairs = generate_pairs(sents, static_rels)
+        triples = triples_from_scored(score_pairs(pairs))
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(output_dir, "triples"))
+        )
+
+    stream = read_page_stream(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

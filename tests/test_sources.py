@@ -1,0 +1,225 @@
+"""Corpus-format reader tests (KBP37 / CoNLL / SemEval / KPWr) against
+small inline fixtures mirroring each reference format."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from semanticrelationextractionpolish_spark.functions import kernels as K
+
+KBP37_SAMPLE = """1\t" <e1> thomas burke </e1> was a pioneer in <e2> american theater </e2> . "
+per:employee_of(e1,e2)
+
+2\t" the <e1> museum </e1> opened in <e2> paris </e2> . "
+org:city_of_headquarters(e2,e1)
+
+3\t" nothing to see here with <e1> a </e1> and <e2> b </e2> . "
+no_relation
+"""
+
+CONLL_SAMPLE = """-DOCSTART- -X- -X- O
+
+EU NNP B-NP B-ORG
+rejects VBZ B-VP O
+German JJ B-NP B-MISC
+call NN I-NP O
+
+Peter NNP B-NP B-PER
+Blackburn NNP I-NP I-PER
+"""
+
+SEMEVAL_RELS = """USAGE(P83-1003.1,P83-1003.2)
+MODEL-FEATURE(P83-1003.5,P83-1003.6,REVERSE)
+PART_WHOLE(X99-0001.1,X99-0001.2)
+"""
+
+SEMEVAL_CORPUS = (
+    '<doc><text id="P83-1003"><title>An <entity id="P83-1003.1">extension'
+    "</entity> of GPSG</title><abstract>We propose <entity id=\"P83-1003.2\">"
+    "non-terminals</entity> here.</abstract></text>"
+    '<text id="X99-0001"><abstract>Short <entity id="X99-0001.1">one'
+    "</entity>.</abstract></text></doc>"
+)
+
+KPWR_DOC = """<?xml version="1.0"?>
+<chunkList>
+ <chunk>
+  <sentence id="sent1">
+   <tok><orth>Jan</orth><ann chan="person_nam">1</ann></tok>
+   <tok><orth>mieszka</orth><ann chan="person_nam">0</ann></tok>
+   <tok><orth>w</orth></tok>
+   <tok><orth>Opolu</orth><ann chan="city_nam">1</ann></tok>
+  </sentence>
+  <sentence id="sent2">
+   <tok><orth>Koniec</orth></tok>
+  </sentence>
+ </chunk>
+</chunkList>
+"""
+
+KPWR_REL = """<?xml version="1.0"?>
+<relations>
+ <rel name="location" set="Semantic relations">
+  <from sent="sent1" chan="person_nam">1</from>
+  <to sent="sent1" chan="city_nam">1</to>
+ </rel>
+ <rel name="irrelevant" set="Anaphora relations">
+  <from sent="sent1" chan="person_nam">1</from>
+  <to sent="sent1" chan="city_nam">1</to>
+ </rel>
+ <rel name="crossing" set="Semantic relations">
+  <from sent="sent1" chan="person_nam">1</from>
+  <to sent="sent2" chan="city_nam">1</to>
+ </rel>
+</relations>
+"""
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpora")
+    (d / "kbp37.txt").write_text(KBP37_SAMPLE, encoding="utf-8")
+    (d / "conll.txt").write_text(CONLL_SAMPLE, encoding="utf-8")
+    (d / "semeval_rels.txt").write_text(SEMEVAL_RELS, encoding="utf-8")
+    (d / "semeval_corpus.xml").write_text(SEMEVAL_CORPUS, encoding="utf-8")
+    return str(d)
+
+
+def test_read_kbp37(spark, fixture_dir):
+    from semanticrelationextractionpolish_spark.sources.kbp37 import read_kbp37
+
+    df = read_kbp37(spark, os.path.join(fixture_dir, "kbp37.txt"))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows["1"]["relation"] == "per:employee_of"
+    assert rows["1"]["is_reversed"] is False
+    assert rows["2"]["relation"] == "org:city_of_headquarters_rev"
+    assert rows["2"]["is_reversed"] is True
+    assert rows["3"]["relation"] == "NO_RELATION"
+    assert "<e1> thomas burke </e1>" in rows["1"]["text"]
+    # quotes stripped (reference reads the quoted-sentence convention)
+    assert not rows["1"]["text"].startswith('"')
+
+
+def test_read_conll(spark, fixture_dir):
+    from semanticrelationextractionpolish_spark.sources.conll import read_conll
+
+    df = read_conll(spark, os.path.join(fixture_dir, "conll.txt"))
+    sents = sorted(
+        (r["tokens"], r["labels"]) for r in df.collect()
+    )
+    assert (["EU", "rejects", "German", "call"], ["B-ORG", "O", "B-MISC", "O"]) in sents
+    assert (["Peter", "Blackburn"], ["B-PER", "I-PER"]) in sents
+    assert len(sents) == 2  # DOCSTART and blanks dropped
+
+
+def test_conll_subword_propagation(spark, fixture_dir):
+    from semanticrelationextractionpolish_spark.sources.conll import (
+        read_conll,
+        subword_label_propagation,
+    )
+
+    df = read_conll(spark, os.path.join(fixture_dir, "conll.txt"))
+    sub = subword_label_propagation(df, repeat_word_label=True)
+    row = sub.where(F.array_contains("subwords", "▁peter")).first()
+    assert row is not None
+    assert len(row["subwords"]) == len(row["subword_labels"])
+    # 'blackburn' (9 chars) splits into 2 pieces, label repeated
+    assert row["subword_labels"].count("I-PER") >= 2
+
+
+def test_semeval_relations(spark, fixture_dir):
+    from semanticrelationextractionpolish_spark.sources.semeval import (
+        read_semeval_relations,
+    )
+
+    df = read_semeval_relations(
+        spark, os.path.join(fixture_dir, "semeval_rels.txt")
+    )
+    rows = {(r["e1_id"], r["e2_id"]): r for r in df.collect()}
+    assert rows[("P83-1003.1", "P83-1003.2")]["rel_class"] == "USAGE"
+    assert rows[("P83-1003.1", "P83-1003.2")]["doc_id"] == "P83-1003"
+    # REVERSE -> REV_ prefix (DataProvider.py:83-88)
+    assert rows[("P83-1003.5", "P83-1003.6")]["rel_class"] == "REV_MODEL-FEATURE"
+
+
+def test_semeval_corpus(spark, fixture_dir):
+    from semanticrelationextractionpolish_spark.sources.semeval import (
+        read_semeval_corpus,
+    )
+
+    df = read_semeval_corpus(
+        spark, os.path.join(fixture_dir, "semeval_corpus.xml")
+    )
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert len(rows) == 2
+    # title prepended, wrappers stripped, inline <entity> preserved
+    assert rows["P83-1003"].startswith('An <entity id="P83-1003.1">extension')
+    assert "<title>" not in rows["P83-1003"]
+    assert '<entity id="P83-1003.2">non-terminals</entity>' in rows["P83-1003"]
+
+
+@pytest.fixture(scope="module")
+def kpwr_dfs(spark):
+    docs = spark.createDataFrame([("korpus_doc1", KPWR_DOC)], "doc_id string, xml string")
+    rels_docs = spark.createDataFrame(
+        [("korpus_doc1", KPWR_REL)], "doc_id string, xml string"
+    )
+    return docs, rels_docs
+
+
+def test_kpwr_relations_filtering(spark, kpwr_dfs):
+    from semanticrelationextractionpolish_spark.sources.kpwr import kpwr_relations
+
+    _, rels_docs = kpwr_dfs
+    rels = kpwr_relations(rels_docs)
+    rows = rels.collect()
+    names = {r["name"] for r in rows}
+    assert names == {"location", "crossing"}  # non-Semantic set dropped
+    cross = [r for r in rows if r["name"] == "crossing"][0]
+    assert cross["same_sentence"] is False
+
+
+def test_kpwr_tagging_and_explode(spark, kpwr_dfs):
+    from semanticrelationextractionpolish_spark.sources.kpwr import (
+        kpwr_explode_relations,
+        kpwr_label_vocab,
+        kpwr_relation_vocab,
+        kpwr_relations,
+        kpwr_tag_sentences,
+    )
+
+    docs, rels_docs = kpwr_dfs
+    vocab = {r["label"]: r["label_id"] for r in kpwr_label_vocab(docs).collect()}
+    assert vocab["O"] == 0
+    assert vocab["B-city_nam"] == 1 and vocab["I-city_nam"] == 2
+    assert vocab["B-person_nam"] == 3
+
+    sents = kpwr_tag_sentences(docs, vocab)
+    srows = {r["sent_id"]: r for r in sents.collect()}
+    s1 = srows["sent1"]
+    # 'Jan' -> B-person_nam-1; 'mieszka' has chan value 0 -> O
+    # (kpwr_is_running_entity, readers_kpwr.py:165-174)
+    assert s1["multientities"][0] == ["B-person_nam-1"]
+    jan_len = 1  # 'jan' is one subword
+    assert s1["multientities"][jan_len] == ["O"]
+
+    rels = kpwr_relations(rels_docs)
+    rels_map = {
+        r["rel_class"]: r["rel_id"] for r in kpwr_relation_vocab(rels).collect()
+    }
+    assert rels_map["NO_RELATION"] == 0
+    exploded = kpwr_explode_relations(sents, rels, vocab, rels_map)
+    rows = exploded.collect()
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r["relation_class"], []).append(r)
+    # sent1: one location relation row with markers; sent2: natural NO_RELATION
+    assert len(by_class["location"]) == 1
+    loc = by_class["location"][0]
+    assert loc["tokens"][loc["e1_beg"]] == "<e1>"
+    assert loc["tokens"][loc["e2_end"]] == "</e2>"
+    assert loc["relation_class_id"] == rels_map["location"]
+    assert len(by_class["NO_RELATION"]) >= 1  # sent2 retained
+    # the cross-sentence 'crossing' rel never produced a row
+    assert "crossing" not in by_class
