@@ -419,6 +419,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = q_media_features
 
+    def q_subword_counts(spark, sf):  # W2: fixed-stride subword split
+        docs = _t(spark, sf, "documents")
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        n_sub = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, w: acc + F.ceil(F.length(w) / 6).cast("int"),
+        )
+        return docs.select(
+            "doc_id", n_sub.cast("long").alias("n_subwords")
+        )
+
+    q["subword_counts"] = q_subword_counts
+
+    def q_model_inputs(spark, sf):  # U7/U8/W4/F5/F10 (rows-only)
+        from semanticrelationextractionpolish_spark.operators.pairs import (
+            generate_pairs,
+        )
+        from semanticrelationextractionpolish_spark.operators.segment import (
+            segment_and_tag,
+        )
+        from semanticrelationextractionpolish_spark.operators.tensorize import (
+            prepare_model_inputs,
+        )
+
+        pages = _pages(spark, sf).where(F.col("lang") == "pl")
+        sents = segment_and_tag(pages)
+        pairs = generate_pairs(sents, _page_rels(spark, sf))
+        mi = prepare_model_inputs(pairs, max_seq_len=80)
+        return mi.select(
+            "url",
+            "sent_idx",
+            "e1_id",
+            "e2_id",
+            F.aggregate(
+                "attention_mask", F.lit(0), lambda a, x: a + x
+            ).cast("long").alias("n_real_tokens"),
+            F.aggregate("e1_mask", F.lit(0), lambda a, x: a + x)
+            .cast("long")
+            .alias("e1_span_len"),
+            F.aggregate("e2_mask", F.lit(0), lambda a, x: a + x)
+            .cast("long")
+            .alias("e2_span_len"),
+        )
+
+    q["model_inputs"] = q_model_inputs
+
     # --- KG pipeline stages on the committed page fixtures -----------------
 
     from semanticrelationextractionpolish_spark.operators.segment import (
@@ -640,6 +687,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_custkey FROM orders
           )
         ) GROUP BY grp
+    """
+
+    o["subword_counts"] = """
+        SELECT doc_id,
+               list_sum(list_transform(
+                 regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 w -> CAST(ceil(length(w) / 6.0) AS INT)
+               ))::BIGINT AS n_subwords
+        FROM documents
     """
 
     o["token_count"] = TS.token_count_oracle_sql()

@@ -70,11 +70,14 @@ def main():
     pages.count()
     rels.count()
     t0 = time.time()
-    stages = build_kg(spark, pages, rels)
+    stages = build_kg(spark, pages, rels, link=False)
     n_triples = stages["triples"].count()
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
+    from semanticrelationextractionpolish_spark.plans.pipeline import link_kg
+
     t0 = time.time()
+    link_kg(stages)
     run_to_sink(stages["nodes"])
     run_to_sink(stages["edges"])
     timings["kg_linking"] = round(time.time() - t0, 3)

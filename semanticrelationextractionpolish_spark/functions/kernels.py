@@ -685,6 +685,99 @@ def kpwr_multientities_to_relations(
 
 
 # --------------------------------------------------------------------------
+# KBP37 marker-sentence tokenization (readers.py:691-788, U4)
+# --------------------------------------------------------------------------
+
+KBP37_MARKER_RE = re.compile(r"(<e[12]>)(.*?)(</e[12]>)")
+
+
+def tokenize_kbp37_sentence(
+    *,
+    text,
+    relation,
+    tokenizer,
+    entity_encoding_scheme="iob",
+    positional_tokens="scheme_1",
+):
+    """One pre-marked KBP37 sentence -> the 5-array record
+    (readers.py:691-788): walk ``<e1>..</e1>``/``<e2>..</e2>`` spans,
+    tokenize gaps and contents, track span begin/end through the
+    marker-token insertion, raise on whitespace-only entities
+    (MalformedEntityException path, readers.py:723-725)."""
+    tokens, token_ids, entities, entity_ids = [], [], [], []
+    rel_info = {
+        "e1_beg": None,
+        "e1_end": None,
+        "entity_class_e1": "ENT",
+        "e2_beg": None,
+        "e2_end": None,
+        "entity_class_e2": "ENT",
+        "relation_class": relation,
+        "is_reversed": "UNSUP",
+    }
+    i = 0
+    for m in KBP37_MARKER_RE.finditer(text):
+        open_marker = m.group(1)
+        pure = open_marker.strip("<>")  # <e1> -> e1
+        content = m.group(2)
+        if content.isspace():
+            raise MalformedEntityError(
+                f"Sentence {text} contains an entity without content"
+            )
+        res = tokenizer.tokenize(text[i : m.span()[0]])
+        tokens.extend(res["tokens"])
+        token_ids.extend(res["token_ids"])
+        entities.extend(["O"] * len(res["tokens"]))
+        entity_ids.extend([0] * len(res["tokens"]))
+
+        res = tokenizer.tokenize(content)
+        n = len(res["tokens"])
+        if positional_tokens is None:
+            t_toks, t_ids = res["tokens"], res["token_ids"]
+            pad = 0
+        elif positional_tokens in ("scheme_1", "scheme_2"):
+            if positional_tokens == "scheme_2":
+                om = "$" if pure == "e1" else "#"
+                cm = om
+            else:
+                om, cm = open_marker, m.group(3)
+            t_toks = [om] + res["tokens"] + [cm]
+            t_ids = (
+                [tokenizer.special_token_ids[om]]
+                + res["token_ids"]
+                + [tokenizer.special_token_ids[cm]]
+            )
+            pad = 2
+        else:
+            raise ValueError(f"Unknown positional tokens scheme {positional_tokens}")
+        if entity_encoding_scheme is None:
+            t_ents = ["ENT"] * (n + pad)
+            t_eids = [1] * (n + pad)
+        elif entity_encoding_scheme == "iob":
+            t_ents = ["I-ENT"] * (n + pad)
+            t_eids = [2] * (n + pad)
+            t_ents[0] = "B-ENT"
+            t_eids[0] = 1
+        else:
+            raise ValueError(
+                f"Unsupported entity encoding scheme {entity_encoding_scheme}"
+            )
+        rel_info[f"{pure}_beg"] = len(entities)
+        rel_info[f"{pure}_end"] = len(entities) + len(t_ents) - 1
+        tokens.extend(t_toks)
+        token_ids.extend(t_ids)
+        entities.extend(t_ents)
+        entity_ids.extend(t_eids)
+        i = m.span()[1]
+    res = tokenizer.tokenize(text[i:])
+    tokens.extend(res["tokens"])
+    token_ids.extend(res["token_ids"])
+    entities.extend(["O"] * len(res["tokens"]))
+    entity_ids.extend([0] * len(res["tokens"]))
+    return tokens, token_ids, entities, entity_ids, rel_info
+
+
+# --------------------------------------------------------------------------
 # KBP37 relation-line normalization (readers.py:677-689)
 # --------------------------------------------------------------------------
 

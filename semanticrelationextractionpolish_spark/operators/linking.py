@@ -43,32 +43,29 @@ def _shingles(col):
 def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
     """df + shingles + one row per (band_idx, band_hash)."""
     with_sh = df.withColumn("shingles", _shingles(F.col(key)))
-
-    def _mh(i: int):
-        # NB: the HOF lambda must be single-arg - a second parameter would
-        # be bound to the element index by pyspark, not the closure.
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.hash(s, F.lit(i)))
-        ).alias(f"mh{i}")
-
-    sigs = [_mh(i) for i in range(N_HASHES)]
-    with_sig = with_sh.select("*", *sigs)
-    rows_per_band = N_HASHES // N_BANDS
-    bands = F.array(
-        *[
-            F.hash(
-                F.lit(b),
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for b in range(N_BANDS)
-        ]
+    # one nested-HOF expression for all N_HASHES signatures (instead of N
+    # separate aggregate columns): an order of magnitude less codegen for
+    # the driver to compile, same result. NB: HOF lambdas must be
+    # single-arg - a second parameter would be bound to the element index.
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.hash(s, i))
+        ),
     )
-    out = with_sig.select(
+    with_sig = with_sh.withColumn("sigs", sigs)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.hash(
+            b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+    return with_sh.withColumn("sigs", sigs).select(
         key,
         "shingles",
         F.posexplode(bands).alias("band_idx", "band_hash"),
     )
-    return out
 
 
 def lsh_candidate_pairs(
@@ -151,7 +148,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("id", "v"), "v"
         ).select(F.col("u").alias("id"), "comp")
@@ -163,15 +160,20 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        prev = labels
         labels = new_labels
-        if changed == 0:
-            break
+        # convergence check costs a driver-synced job; checking every
+        # second round halves that cost (components converge in
+        # O(diameter) rounds, one extra cheap round is free)
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(prev.alias("o"), "id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            if changed == 0:
+                break
     return labels
 
 

@@ -66,8 +66,20 @@ def generate_pairs(
     labels_map: dict | None = None,
     add_no_relations: bool = True,
     keep_no_relation_rows: bool = True,
+    co_partitioned: bool = False,
 ) -> DataFrame:
-    """SENTENCES + PAGE_RELATIONS -> PAIRS (one row per candidate pair)."""
+    """SENTENCES + PAGE_RELATIONS -> PAIRS (one row per candidate pair).
+
+    ``co_partitioned=True`` is the fast path for sentences that come
+    STRAIGHT from the segment stage (or a partition-preserving persist of
+    it): those rows are already contiguous per url within each partition
+    (segment is a pure map over pages, one page row per url), so the
+    relation dim is broadcast and the fat tokenized-sentence table is
+    never shuffled at all - at web scale this removes the single largest
+    shuffle of the pipeline (token arrays are ~4x the raw text volume).
+    Leave it False when sentences were re-read from parquet (file splits
+    can break url contiguity).
+    """
     labels_map = labels_map or default_labels_map()
 
     rels_by_url = page_relations.groupBy("url").agg(
@@ -75,7 +87,10 @@ def generate_pairs(
             F.collect_list(F.struct("e1_id", "e2_id", "rel_class"))
         ).alias("rels")
     )
-    joined = sentences.join(rels_by_url, "url", "left")
+    if co_partitioned:
+        joined = sentences.join(F.broadcast(rels_by_url), "url", "left")
+    else:
+        joined = sentences.join(rels_by_url, "url", "left")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tokenizer = DeterministicTokenizer()
@@ -146,10 +161,15 @@ def generate_pairs(
                     out["between_text"].append(_detok(toks0[lo + 1 : hi]))
             yield pd.DataFrame(out)
 
-    # group all sentences of a document into one partition slice: the
-    # repartition keys the mapInPandas input by url so the doc-level
-    # relation dict sees every sentence of the doc (sorted inside kernel).
-    grouped = joined.repartition(F.col("url")).sortWithinPartitions(
-        "url", "sent_idx"
-    )
+    if co_partitioned:
+        # broadcast join preserved the segment stage's partitioning and
+        # url-contiguous row order - feed the kernel directly
+        grouped = joined
+    else:
+        # group all sentences of a document into one partition slice: the
+        # repartition keys the mapInPandas input by url so the doc-level
+        # relation dict sees every sentence of the doc.
+        grouped = joined.repartition(F.col("url")).sortWithinPartitions(
+            "url", "sent_idx"
+        )
     return grouped.mapInPandas(kernel, schema=schemas.PAIRS)

@@ -35,6 +35,7 @@ def build_kg(
     checkpoint_dir: str | None = None,
     add_no_relations: bool = True,
     persist: bool = True,
+    link: bool = True,
 ) -> dict:
     """Run the full pipeline; returns a dict of stage DataFrames.
 
@@ -61,18 +62,21 @@ def build_kg(
         segment_and_tag(extracted, text_col="extracted_text"), "sentences"
     )
     mentions = ckpt(mentions_from_sentences(sentences), "mentions")
+    # fast path: when sentences come straight from segment (or its
+    # partition-preserving persist), skip the fat sentence shuffle; a
+    # parquet checkpoint read may split files, so use the safe path there
     pairs = ckpt(
         generate_pairs(
-            sentences, page_relations, add_no_relations=add_no_relations
+            sentences,
+            page_relations,
+            add_no_relations=add_no_relations,
+            co_partitioned=checkpoint_dir is None,
         ),
         "pairs",
     )
     scored = score_pairs(pairs)
     triples = ckpt(triples_from_scored(scored), "triples")
-    node_assignments, nodes = canonicalize(mentions)
-    nodes = ckpt(nodes, "nodes")
-    edges = ckpt(edges_from_triples(triples, node_assignments), "edges")
-    return {
+    stages = {
         "pages": pl_pages,
         "extracted": extracted,
         "sentences": sentences,
@@ -80,10 +84,25 @@ def build_kg(
         "pairs": pairs,
         "scored": scored,
         "triples": triples,
-        "node_assignments": node_assignments,
-        "nodes": nodes,
-        "edges": edges,
+        "_ckpt": ckpt,
     }
+    if link:
+        link_kg(stages)
+    return stages
+
+
+def link_kg(stages: dict) -> dict:
+    """Linking phase: canonicalize mentions (eager iterative CC loop) and
+    aggregate edges. Separated from build_kg so the extraction phase can
+    be timed/run without the driver-synced graph loop."""
+    ckpt = stages["_ckpt"]
+    node_assignments, nodes = canonicalize(stages["mentions"])
+    stages["node_assignments"] = node_assignments
+    stages["nodes"] = ckpt(nodes, "nodes")
+    stages["edges"] = ckpt(
+        edges_from_triples(stages["triples"], node_assignments), "edges"
+    )
+    return stages
 
 
 def gold_triples(scored_pairs: DataFrame) -> DataFrame:

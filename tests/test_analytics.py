@@ -1,0 +1,156 @@
+"""Analytics-operator tests: dedup families, similarity search,
+multimodal plumbing, text stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semanticrelationextractionpolish_spark.operators import (
+    dedup as DD,
+    multimodal as MM,
+    similarity as SIM,
+    textstats as TS,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the bridge"),  # near dup
+        (4, "completely different content about spark query planning today"),
+        (5, "ala"),  # shorter than one trigram
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keeper_doc_id"]: r["n_copies"] for r in DD.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, keeper = min id
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_near_dup_pairs(docs, jaccard=0.9).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_near_dup(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text -> identical fingerprint
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] > 0
+
+
+def test_dedup_keep_first(spark, docs):
+    kept = DD.dedup_keep_first(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids and len(ids) == 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+
+    rows = []
+    for i in range(30):
+        angle = (i % 6) / 6 * math.pi
+        vec = [math.cos(angle), math.sin(angle), 0.1 * (i % 3), 1.0]
+        rows.append((i, [float(x) for x in vec], i % 6))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(spark, emb):
+    out = SIM.brute_force_topk(emb, query_ids=[0], k=3).collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3] or sorted(
+        r["rank"] for r in out
+    ) == [1, 2, 3]
+    # nearest neighbors of vec 0 share its angle bucket (labels equal)
+    top1 = [r for r in out if r["rank"] == 1][0]
+    assert top1["cos_sim"] > 0.99
+
+
+def test_ann_topk_subset_of_bucket(spark, emb):
+    out = SIM.ann_topk(emb, query_ids=[0, 1], k=3)
+    rows = out.collect()
+    assert all(r["query_id"] in (0, 1) for r in rows)
+    # ANN returns the exact top-1 for vectors sharing a bucket with twins
+    bf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in SIM.brute_force_topk(emb, query_ids=[0, 1], k=1).collect()
+    }
+    ann = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in rows
+        if r["rank"] == 1
+    }
+    hits = sum(1 for k in ann if ann[k] == bf.get(k))
+    assert hits >= 1  # recall > 0 by construction
+
+
+def test_pairwise_cosine_dedup(spark, emb):
+    pairs = SIM.pairwise_cosine_dedup(emb, threshold=0.999).collect()
+    # vectors with identical angle and i%3 are near-identical
+    assert all(r["cos_sim"] >= 0.999 for r in pairs)
+
+
+def test_media_plumbing(spark, docs):
+    blobs = MM.synth_media(docs)
+    meta = {r["doc_id"]: r for r in MM.media_metadata(blobs).collect()}
+    assert meta[1]["media_type"] == "image/jpeg"  # doc_id%4==1
+    assert meta[4]["media_type"] == "image/png"
+    assert meta[1]["n_bytes"] > 3
+    feats = {r["doc_id"]: r for r in MM.extract_media_features(blobs).collect()}
+    assert len(feats[1]["features"]) == MM.FEATURE_DIM
+    # deterministic across runs: same payload -> same features
+    feats2 = {r["doc_id"]: r for r in MM.extract_media_features(blobs).collect()}
+    assert feats[1]["features"] == feats2[1]["features"]
+
+
+def test_decode_media_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x89PNG....", fake=False)
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist das"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in TS.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de"
+
+
+def test_quality_monotone(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is near the old stone bridge today"),
+            (2, "x x x x x x x x x x"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r["quality"] for r in TS.quality_score(df).collect()}
+    assert q[1] > q[2]  # repetitive junk scores lower (type-token ratio)

@@ -1,0 +1,74 @@
+"""Model-input preparation tests (CLS/SEP shift, length filter, pad,
+masks) - hand-computed goldens mirroring RelacjoSzukaczBERT.py:65-121."""
+
+from pyspark.sql import functions as F
+
+from semanticrelationextractionpolish_spark.operators.tensorize import (
+    CLS_ID,
+    SEP_ID,
+    filter_too_long,
+    prepare_model_inputs,
+)
+
+SCHEMA = (
+    "url string, sent_idx int, e1_id string, e2_id string, "
+    "token_ids array<int>, e1_beg int, e1_end int, e2_beg int, e2_end int, "
+    "gold_class string"
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_masks_and_padding(spark):
+    # tokens: [<e1> a b </e1> c <e2> d </e2>] = ids 900,1,2,901,3,902,4,903
+    row = ("u", 0, "x.1", "x.2", [900, 1, 2, 901, 3, 902, 4, 903], 0, 3, 5, 7, "rel")
+    out = prepare_model_inputs(_pairs(spark, [row]), max_seq_len=12).first()
+    ids = out["input_ids"]
+    assert ids[0] == CLS_ID and ids[9] == SEP_ID
+    assert ids[1:9] == [900, 1, 2, 901, 3, 902, 4, 903]
+    assert ids[10:] == [0, 0]
+    # attention = nonzero ids (F10)
+    assert out["attention_mask"] == [1] * 10 + [0, 0]
+    # e1 span [0,3] shifts to [1,4]; e2 [5,7] -> [6,8] (inclusive)
+    assert out["e1_mask"] == [0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    assert out["e2_mask"] == [0, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0]
+
+
+def test_too_long_filtered(spark):
+    # e2_end+1 >= max_seq_len-1 -> dropped (RelacjoSzukaczBERT.py:84-98)
+    long_row = ("u", 0, "x.1", "x.2", list(range(1, 30)), 0, 1, 25, 27, "rel")
+    ok_row = ("u", 1, "x.1", "x.2", list(range(1, 10)), 0, 1, 3, 5, "rel")
+    df = _pairs(spark, [long_row, ok_row])
+    assert filter_too_long(df, max_seq_len=20).count() == 1
+    out = prepare_model_inputs(df, max_seq_len=20)
+    assert out.count() == 1 and out.first()["sent_idx"] == 1
+
+
+def test_null_markers_filtered(spark):
+    # natural NO_RELATION rows have null marker indices -> excluded
+    row = ("u", 0, None, None, [1, 2, 3], None, None, None, None, "NO_RELATION")
+    assert prepare_model_inputs(_pairs(spark, [row])).count() == 0
+
+
+def test_end_to_end_from_pipeline(spark):
+    from semanticrelationextractionpolish_spark.operators.pairs import generate_pairs
+    from semanticrelationextractionpolish_spark.operators.segment import (
+        segment_and_tag,
+    )
+    from semanticrelationextractionpolish_spark.sources.synth import synth_pages
+
+    pages, rels = synth_pages(spark, 20)
+    sents = segment_and_tag(pages.where("lang='pl'"))
+    pairs = generate_pairs(sents, rels)
+    inputs = prepare_model_inputs(pairs, max_seq_len=64)
+    rows = inputs.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert len(r["input_ids"]) == 64
+        assert sum(r["e1_mask"]) >= 3  # <e1> + >=1 token + </e1>
+        assert sum(r["e2_mask"]) >= 3
+        # masks sit inside the attention region
+        att = r["attention_mask"]
+        assert all(att[i] for i in range(64) if r["e1_mask"][i] or r["e2_mask"][i])
