@@ -34,6 +34,7 @@ from ..functions.kernels import (
     augment_no_relations,
     explode_pairs_inline,
 )
+from ..functions.lemmatize import lemma_phrase
 from ..functions.tokenizer import DeterministicTokenizer
 
 # generic IOB label vocabulary for the synthetic channels; only used for
@@ -88,6 +89,11 @@ def generate_pairs(
         ).alias("rels")
     )
     if co_partitioned:
+        # NB: the broadcast build is driver-serial; at web scale gold
+        # relation sets are tiny (or absent - NO_RELATION augmentation
+        # dominates), so this is the right default. For synthetic corpora
+        # with per-page annotations the caller can choose the shuffle
+        # path instead (co_partitioned=False).
         joined = sentences.join(F.broadcast(rels_by_url), "url", "left")
     else:
         joined = sentences.join(rels_by_url, "url", "left")
@@ -156,9 +162,19 @@ def generate_pairs(
                     out["e2_beg"].append(info.get("e2_beg"))
                     out["e2_end"].append(info.get("e2_end"))
                     out["gold_class"].append(gold)
-                    out["e1_surface"].append(_detok(toks0[e1_beg : e1_end + 1]))
-                    out["e2_surface"].append(_detok(toks0[e2_beg : e2_end + 1]))
-                    out["between_text"].append(_detok(toks0[lo + 1 : hi]))
+                    e1_surf = _detok(toks0[e1_beg : e1_end + 1])
+                    e2_surf = _detok(toks0[e2_beg : e2_end + 1])
+                    between = _detok(toks0[lo + 1 : hi])
+                    out["e1_surface"].append(e1_surf)
+                    out["e2_surface"].append(e2_surf)
+                    out["between_text"].append(between)
+                    # lemmas computed here (Python already holds the row)
+                    # so scoring stays trivial JVM string ops - the
+                    # interpreted HOF lemma expression measured 2-4x the
+                    # whole scoring stage when inlined per when-branch
+                    out["e1_lemma"].append(lemma_phrase(e1_surf))
+                    out["e2_lemma"].append(lemma_phrase(e2_surf))
+                    out["between_lemma"].append(lemma_phrase(between))
             yield pd.DataFrame(out)
 
     if co_partitioned:

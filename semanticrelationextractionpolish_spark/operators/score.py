@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.kernels import NO_RELATION
-from ..functions.lemmatize import lemma_col
 
 
 def score_pairs(pairs: DataFrame, patterns: dict[str, str] | None = None) -> DataFrame:
@@ -34,7 +33,10 @@ def score_pairs(pairs: DataFrame, patterns: dict[str, str] | None = None) -> Dat
 
         patterns = PREDICATE_PATTERNS
 
-    between_lemma = lemma_col(F.col("between_text"))
+    # the pair kernel already emitted the lemma-normalized between-text
+    # column, so scoring is a chain of plain string `contains` - cheap,
+    # codegen-friendly, and evaluated once per row
+    between_lemma = F.col("between_lemma")
     pred = F.lit(None).cast("string")
     # longest pattern first so more specific predicates win
     for phrase, rel in sorted(
@@ -61,9 +63,9 @@ def triples_from_scored(scored: DataFrame) -> DataFrame:
     return scored.where(F.col("pred_class") != NO_RELATION).select(
         "url",
         "sent_idx",
-        lemma_col(F.col("e1_surface")).alias("subj"),
+        F.col("e1_lemma").alias("subj"),
         F.col("pred_class").alias("pred"),
-        lemma_col(F.col("e2_surface")).alias("obj"),
+        F.col("e2_lemma").alias("obj"),
         F.col("e1_id").alias("subj_id"),
         F.col("e2_id").alias("obj_id"),
         "score",

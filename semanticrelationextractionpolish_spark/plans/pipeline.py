@@ -108,16 +108,14 @@ def link_kg(stages: dict) -> dict:
 def gold_triples(scored_pairs: DataFrame) -> DataFrame:
     """The reference-parity gold set: annotated (non-augmented) pairs with
     their gold class - what the reference's positive path emits."""
-    from ..functions.lemmatize import lemma_col
-
     return scored_pairs.where(
         F.col("gold_class").isNotNull() & (F.col("gold_class") != "NO_RELATION")
     ).select(
         "url",
         "sent_idx",
-        lemma_col(F.col("e1_surface")).alias("subj"),
+        F.col("e1_lemma").alias("subj"),
         F.col("gold_class").alias("pred"),
-        lemma_col(F.col("e2_surface")).alias("obj"),
+        F.col("e2_lemma").alias("obj"),
         F.col("e1_id").alias("subj_id"),
         F.col("e2_id").alias("obj_id"),
     )

@@ -79,6 +79,9 @@ PAIRS = T.StructType(
         T.StructField("e1_surface", T.StringType(), True),
         T.StructField("e2_surface", T.StringType(), True),
         T.StructField("between_text", T.StringType(), True),
+        T.StructField("e1_lemma", T.StringType(), True),
+        T.StructField("e2_lemma", T.StringType(), True),
+        T.StructField("between_lemma", T.StringType(), True),
     ]
 )
 

@@ -21,7 +21,20 @@ def main():
     mode = sys.argv[2] if len(sys.argv) > 2 else "cache"
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    cores = spark.sparkContext.defaultParallelism
+    # in cluster modes executors register asynchronously; wait so
+    # defaultParallelism reflects the real core count before sizing
+    # partitions (local-cluster starts with 1 entry = driver)
+    sc = spark.sparkContext
+    expected = None
+    master = sc.master or ""
+    if master.startswith("local-cluster"):
+        n_exec, cores_per = (int(x) for x in master.split("[")[1].split("]")[0].split(",")[:2])
+        expected = n_exec * cores_per
+        for _ in range(60):
+            if sc.defaultParallelism >= expected:
+                break
+            time.sleep(0.5)
+    cores = sc.defaultParallelism
 
     from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
     from semanticrelationextractionpolish_spark.sources.synth import synth_pages
