@@ -504,6 +504,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_extract_roundtrip"] = q_kg_extract_roundtrip
 
+    def q_ner_mentions(spark, sf):  # U9 analog: detection on RAW text
+        from semanticrelationextractionpolish_spark.operators.ner import (
+            detect_mentions,
+        )
+
+        pages = _pages(spark, sf).where(F.col("lang") == "pl")
+        # strip the inline annotation so the gazetteer works on raw text
+        raw = pages.select(
+            "url",
+            F.regexp_replace(
+                F.col("text"), r"<entity id=\"[^\"]*\"( category=\"[^\"]*\")?>|</entity>", ""
+            ).alias("text"),
+        )
+        sents = detect_mentions(raw)
+        return sents.groupBy("url").agg(
+            F.sum("n_entities").cast("long").alias("n_detected")
+        )
+
+    q["ner_mentions"] = q_ner_mentions
+
     def q_kg_triples(spark, sf):  # rows-only: full pipeline
         from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
 

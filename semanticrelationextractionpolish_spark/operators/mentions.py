@@ -33,19 +33,24 @@ def detok_col(tokens_col):
 
 
 def mentions_from_sentences(sentences: DataFrame) -> DataFrame:
+    # Shuffle hygiene: only mention tokens survive the explode (the filter
+    # runs map-side before the groupBy exchange), and each row carries its
+    # OWN token string - never the whole sentence array. The mention's
+    # surface is reassembled from the collected (pos, token) pieces.
     exploded = (
         sentences.select(
             "url",
             "sent_idx",
-            "tokens",
-            F.posexplode(F.arrays_zip("entities", "entity_ids")).alias("pos", "z"),
+            F.posexplode(
+                F.arrays_zip("entities", "entity_ids", "tokens")
+            ).alias("pos", "z"),
         )
         .where(F.col("z.entity_ids").isNotNull())
         .select(
             "url",
             "sent_idx",
-            "tokens",
             "pos",
+            F.col("z.tokens").alias("token"),
             F.col("z.entity_ids").alias("entity_id"),
             F.regexp_replace(F.col("z.entities"), "^[BI]-", "").alias("entity_class"),
         )
@@ -54,11 +59,9 @@ def mentions_from_sentences(sentences: DataFrame) -> DataFrame:
         F.first("entity_class").alias("entity_class"),
         F.min("pos").alias("beg"),
         F.max("pos").alias("end"),
-        F.first("tokens").alias("tokens"),
+        F.array_sort(F.collect_list(F.struct("pos", "token"))).alias("pieces"),
     )
-    surface = detok_col(
-        F.slice(F.col("tokens"), F.col("beg") + 1, F.col("end") - F.col("beg") + 1)
-    )
+    surface = detok_col(F.transform("pieces", lambda p: p["token"]))
     return spans.select(
         "url",
         "sent_idx",

@@ -54,12 +54,28 @@ def build_kg(
             return df.persist(StorageLevel.MEMORY_AND_DISK)
         return df
 
+    from pyspark.sql import Observation
+
+    observations: dict[str, Observation] = {}
+
+    def obs(df: DataFrame, name: str, *extra) -> DataFrame:
+        # pipeline counters (A4 analog: the reference's ad-hoc progress
+        # prints become Observation metrics collected with the action)
+        o = Observation(name)
+        observations[name] = o
+        return df.observe(o, F.count(F.lit(1)).alias("rows"), *extra)
+
     # language filter FIRST - a catalyst-pushable predicate that prunes
     # ~x% of the scan before any Python runs (F1 in SURVEY.md §2.2)
-    pl_pages = pages.where(F.col("lang") == lang)
+    pl_pages = obs(pages.where(F.col("lang") == lang), "pages_kept")
     extracted = extract(pl_pages)
     sentences = ckpt(
-        segment_and_tag(extracted, text_col="extracted_text"), "sentences"
+        obs(
+            segment_and_tag(extracted, text_col="extracted_text"),
+            "sentences",
+            F.sum("n_entities").alias("n_entity_mentions"),
+        ),
+        "sentences",
     )
     mentions = ckpt(mentions_from_sentences(sentences), "mentions")
     # fast path: when sentences come straight from segment (or its
@@ -75,8 +91,11 @@ def build_kg(
         "pairs",
     )
     scored = score_pairs(pairs)
-    triples = ckpt(triples_from_scored(scored), "triples")
+    triples = ckpt(
+        obs(triples_from_scored(scored), "triples"), "triples"
+    )
     stages = {
+        "_observations": observations,
         "pages": pl_pages,
         "extracted": extracted,
         "sentences": sentences,
@@ -89,6 +108,16 @@ def build_kg(
     if link:
         link_kg(stages)
     return stages
+
+
+def lineage_report(stages: dict) -> dict:
+    """Collected Observation metrics per stage (call after actions have
+    run; Observation.get blocks until its stage completed). Together with
+    ``materialize.partition_counters`` this is the lineage/counters table
+    the north rule requires."""
+    return {
+        name: dict(o.get) for name, o in stages.get("_observations", {}).items()
+    }
 
 
 def link_kg(stages: dict) -> dict:
@@ -122,7 +151,10 @@ def gold_triples(scored_pairs: DataFrame) -> DataFrame:
 
 
 def evaluate_parity(stages: dict) -> dict:
-    """Micro P/R of predicted triples vs the reference gold set."""
+    """Micro P/R of predicted triples vs the reference gold set. An empty
+    corpus is reported explicitly rather than as 0.0 "failed" parity."""
     pred = stages["triples"]
     gold = gold_triples(stages["scored"])
-    return precision_recall(pred, gold)
+    result = precision_recall(pred, gold)
+    result["empty_corpus"] = result["n_gold"] == 0 and result["n_pred"] == 0
+    return result
