@@ -176,6 +176,45 @@ def test_parity_p_r(stages):
     assert parity["recall"] >= 0.95
 
 
+def test_triple_parity_vs_reference_oracle(stages):
+    """The north-rule gate stated directly: the engine's emitted triples
+    vs the plain-Python reference-semantics oracle's positive-path
+    triples, micro P/R >= 0.95 (here exact)."""
+    local_pages, local_rels = synth_pages_local(N_PAGES)
+    raw_relations = {}
+    for r in local_rels:
+        raw_relations.setdefault(r["url"], {})[(r["e1_id"], r["e2_id"])] = r[
+            "rel_class"
+        ]
+    tok = DeterministicTokenizer()
+    labels_map = default_labels_map()
+    oracle_triples = set()
+    for p in local_pages:
+        if p["lang"] != "pl":
+            continue
+        for r in K.process_document_inline(
+            doc_id=p["url"],
+            doc_text=p["text"],
+            tokenizer=tok,
+            raw_relations=raw_relations,
+            entity_labels_map=labels_map,
+            use_entity_classes=True,
+            add_no_relations=True,
+        ):
+            cls = r["relation_info"].get("relation_class")
+            if r["e1_id"] is not None and cls and cls != "NO_RELATION":
+                oracle_triples.add((p["url"], r["sent_idx"], r["e1_id"], r["e2_id"], cls))
+    engine_triples = {
+        (r["url"], r["sent_idx"], r["subj_id"], r["obj_id"], r["pred"])
+        for r in stages["triples"].collect()
+    }
+    tp = len(engine_triples & oracle_triples)
+    precision = tp / len(engine_triples)
+    recall = tp / len(oracle_triples)
+    assert precision >= 0.95 and recall >= 0.95
+    assert engine_triples == oracle_triples  # exact on this corpus
+
+
 def test_mentions_surface_and_lemma(stages):
     m = stages["mentions"]
     rows = m.where(F.col("surface") == "").count()
