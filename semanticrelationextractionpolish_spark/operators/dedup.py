@@ -76,9 +76,13 @@ def ngram_jaccard_pairs(
     sized = df.select(
         "doc_id", word_ngrams(F.col(text_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
+    # join on the 64-bit gram hash, not the string: the inverted index is
+    # the biggest shuffle here and long keys move ~5x fewer bytes than
+    # word trigrams (collision risk 1e-9 at 1e5 distinct grams is far
+    # below the jaccard threshold's sensitivity)
     inv = sized.select(
-        "doc_id", "n_grams", F.explode("grams").alias("gram")
-    )
+        "doc_id", "n_grams", F.explode("grams").alias("g")
+    ).select("doc_id", "n_grams", F.xxhash64("g").alias("gram"))
     gram_df = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
     inv = inv.join(gram_df.where(F.col("gdf") <= max_ngram_df), "gram")
     a = inv.select(
