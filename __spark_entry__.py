@@ -233,10 +233,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["confusion_matrix"] = q_confusion_matrix
 
     def q_grouped_masks(spark, sf):  # F10/O4: ordered list agg + mask
+        # Emits the mask as a comma-joined string: the driver canonicalizer
+        # sorts/hashes values and cannot handle array<int> cells.
         li = _t(spark, sf, "lineitem")
         arr = F.sort_array(F.collect_list(F.col("l_linenumber")))
         return li.groupBy("l_orderkey").agg(
-            F.transform(arr, lambda x: (x % 2)).alias("parity_mask")
+            F.array_join(
+                F.transform(arr, lambda x: (x % 2).cast("string")), ","
+            ).alias("parity_mask")
         )
 
     q["grouped_masks"] = q_grouped_masks
@@ -388,11 +392,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk"] = lambda spark, sf: SIM.brute_force_topk(
         _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
     )
-    q["ann_topk"] = lambda spark, sf: SIM.ann_topk(  # rows-only
-        _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5
+    q["ann_topk"] = lambda spark, sf: SIM.ann_topk(
+        _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5, dim=64
     )
-    q["embedding_neardup"] = lambda spark, sf: SIM.pairwise_cosine_dedup(  # rows-only
-        _t(spark, sf, "embeddings"), threshold=0.95
+    q["ann_recall"] = lambda spark, sf: SIM.ann_recall(
+        _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5, dim=64
+    )
+
+    def _embs_with_dupes(spark, sf):
+        # plant exact-duplicate vectors (identical embedding, new id) so
+        # the near-dup query verifies a non-empty result set; identical
+        # vectors share every LSH bucket, so the bucketed plan finds them
+        # by construction and the DuckDB mirror is exact
+        embs = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        dupes = embs.where(F.col("vec_id") % 11 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+        return embs.unionByName(dupes)
+
+    q["embedding_neardup"] = lambda spark, sf: SIM.pairwise_cosine_dedup(
+        _embs_with_dupes(spark, sf), threshold=0.95, dim=64
     )
 
     # --- multimodal plumbing -----------------------------------------------
@@ -407,7 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_meta"] = q_media_meta
 
-    def q_media_features(spark, sf):  # rows-only (stub decoder)
+    def q_media_features(spark, sf):  # exact: synth blobs make n_frames derivable
         docs = _t(spark, sf, "documents")
         blobs = MM.synth_media(docs)
         feats = MM.extract_media_features(blobs, fake=True)
@@ -433,7 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["subword_counts"] = q_subword_counts
 
-    def q_model_inputs(spark, sf):  # U7/U8/W4/F5/F10 (rows-only)
+    def q_model_inputs(spark, sf):  # U7/U8/W4/F5/F10 (exact vs pairs fixture)
         from semanticrelationextractionpolish_spark.operators.pairs import (
             generate_pairs,
         )
@@ -648,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["grouped_masks"] = """
         SELECT l_orderkey,
-               list_transform(list_sort(list(l_linenumber)), x -> x % 2) AS parity_mask
+               array_to_string(list_transform(list_sort(list(l_linenumber)), x -> x % 2), ',') AS parity_mask
         FROM lineitem GROUP BY l_orderkey
     """
 
@@ -765,15 +784,31 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS shared,
                  round(count(*) / CAST(a.n_grams + b.n_grams - count(*) AS DOUBLE), 6) AS jaccard
           FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           AND least(a.n_grams, b.n_grams)::DOUBLE / greatest(a.n_grams, b.n_grams) >= 0.8
           GROUP BY a.doc_id, b.doc_id, a.n_grams, b.n_grams
         ) WHERE jaccard >= 0.8
     """
 
     from semanticrelationextractionpolish_spark.operators.similarity import (
+        ann_recall_oracle_sql,
+        ann_topk_oracle_sql,
         brute_force_topk_oracle_sql,
+        pairwise_cosine_dedup_oracle_sql,
     )
 
     o["cosine_topk"] = brute_force_topk_oracle_sql(list(range(10)), k=5)
+    o["ann_topk"] = ann_topk_oracle_sql(list(range(10)), k=5, dim=64)
+    o["ann_recall"] = ann_recall_oracle_sql(list(range(10)), k=5, dim=64)
+    o["embedding_neardup"] = pairwise_cosine_dedup_oracle_sql(
+        threshold=0.95, dim=64
+    )
+
+    o["media_features"] = """
+        SELECT doc_id,
+               16::BIGINT AS feat_dim,
+               ((3 + octet_length(encode(text))) % 16 + 1)::INT AS n_frames
+        FROM documents
+    """
 
     o["media_meta"] = """
         SELECT doc_id,
@@ -797,6 +832,25 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["kg_extract_roundtrip"] = f"SELECT url, text FROM {_PAGES_SQL}"
+
+    # tensorize arithmetic over the frozen PAIRS projection
+    # (fixtures/pairs_sf0.01.parquet, regenerated by tools/freeze_fixtures.py
+    # and pinned fresh by tests/test_tensorize.py): CLS shift, the
+    # strictly-greater too-long filter, inclusive marker-span masks,
+    # attention = non-pad count (token ids are never 0 by construction)
+    o["model_inputs"] = f"""
+        SELECT url, sent_idx, e1_id, e2_id,
+               (least(n_tokens, 78) + 2)::BIGINT AS n_real_tokens,
+               CASE WHEN e1_beg IS NULL THEN 0
+                    ELSE greatest(least(e1_end + 2, 80) - e1_beg - 1, 0)
+               END::BIGINT AS e1_span_len,
+               CASE WHEN e1_beg IS NULL THEN 0
+                    ELSE greatest(least(e2_end + 2, 80) - e2_beg - 1, 0)
+               END::BIGINT AS e2_span_len
+        FROM read_parquet('{FIXTURE_DIR}/pairs_sf0.01.parquet')
+        WHERE e1_beg IS NULL
+           OR greatest(e1_beg, e1_end, e2_beg, e2_end) + 1 <= 79
+    """
 
     # the P/R >= 0.95 gate, oracle-exact: recoverable gold = annotations
     # with consecutive mention counters (see q_kg_gold_parity docstring)

@@ -95,9 +95,17 @@ def ngram_jaccard_pairs(
         F.col("doc_id").alias("doc_b"),
         F.col("n_grams").alias("nb"),
     )
+    # doc-length banding: Jaccard >= t implies min(na,nb)/max(na,nb) >= t
+    # (intersection <= min, union >= max), so length-mismatched pairs are
+    # pruned AT THE JOIN, before they fan into the groupBy. Same result
+    # set by construction; at sf0.1 this cut the query >2x. The ratio form
+    # (not t*max <= min) avoids fp-literal edge cases: both engines
+    # compute the same correctly-rounded double for min/max.
+    band = F.least("na", "nb").cast("double") / F.greatest("na", "nb")
     shared = (
         a.join(b, "gram")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .where(band >= F.lit(threshold))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -35,14 +35,24 @@ def checkpoint_parquet(
     return spark.read.parquet(path)
 
 
-def salted_repartition(df: DataFrame, key: str, n_partitions: int, salt_buckets: int = 8) -> DataFrame:
-    """Spread a skewed key over ``salt_buckets`` sub-keys
-    (pmod(hash(key||salt))) - the SURVEY §4 hot-domain guard."""
-    return df.repartition(
-        n_partitions,
-        F.col(key),
-        F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)),
-    )
+def salted_repartition(
+    df: DataFrame,
+    key: str,
+    n_partitions: int,
+    salt_buckets: int = 8,
+    secondary: str | None = None,
+) -> DataFrame:
+    """Spread a skewed key over ``salt_buckets`` sub-keys - the SURVEY §4
+    hot-domain guard. The salt is derived from ROW CONTENT
+    (pmod(xxhash64(key, secondary), buckets)), never from
+    monotonically_increasing_id: a task retry recomputes the same salt for
+    the same row, so shuffle outputs are stable under speculative
+    execution / stage retry (seeded-determinism discipline, SURVEY §4.5).
+    ``secondary`` defaults to every other column, giving distinct rows of
+    a hot key distinct salts."""
+    other = [c for c in df.columns if c != key] if secondary is None else [secondary]
+    salt = F.pmod(F.xxhash64(F.col(key), *[F.col(c) for c in other]), F.lit(salt_buckets))
+    return df.repartition(n_partitions, F.col(key), salt)
 
 
 def domain_of(url_col) -> F.Column:

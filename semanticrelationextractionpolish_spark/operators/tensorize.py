@@ -5,8 +5,9 @@ Mirrors /root/reference/RelacjoSzukaczBERT.py:65-121 semantics:
 
 * [CLS]/[SEP] insertion with +1 shift of all four marker indices and the
   [SEP] pinned after the last real token (W4, :72-83);
-* too-long filter: drop pairs whose shifted e2_end lands at or beyond
-  ``max_seq_len - 1`` (F5, :84-98);
+* too-long filter: drop pairs where any shifted marker lands strictly
+  beyond ``max_seq_len - 1``; unmarked rows are kept with all-zero
+  masks (F5, :84-98);
 * pad/truncate token ids to ``max_seq_len`` (O4);
 * ``attention_mask = (ids != 0)`` - the reference's vectorization lesson
   (F10, :105-106: per-element map_fn was "extremely slow");
@@ -47,11 +48,15 @@ MODEL_INPUTS = T.StructType(
 
 
 def filter_too_long(pairs: DataFrame, max_seq_len: int = 80) -> DataFrame:
-    """F5: the +1 CLS shift puts e2_end at index e2_end+1; it must stay
-    strictly before the [SEP] slot at max_seq_len-1
-    (RelacjoSzukaczBERT.py:84-98)."""
+    """F5 (RelacjoSzukaczBERT.py:84-98): a sentence is dropped only when
+    any CLS-shifted marker position lands STRICTLY beyond max_seq_len-1,
+    i.e. keep while ``pos + 1 <= max_seq_len - 1`` for all four markers.
+    Rows with no marker info at all (unmarked NO_RELATION sentences) are
+    KEPT - the reference only shifts/checks when e1_beg is present and
+    such rows get all-zero entity masks downstream."""
+    shifted_max = F.greatest("e1_beg", "e1_end", "e2_beg", "e2_end") + 1
     return pairs.where(
-        F.col("e2_end").isNotNull() & (F.col("e2_end") + 1 < max_seq_len - 1)
+        F.col("e1_beg").isNull() | (shifted_max <= max_seq_len - 1)
     )
 
 
@@ -80,6 +85,10 @@ def prepare_model_inputs(pairs: DataFrame, max_seq_len: int = 80) -> DataFrame:
                 toks = list(pdf["token_ids"].iloc[r])[: max_seq_len - 2]
                 seq = [CLS_ID] + toks + [SEP_ID]
                 ids[r, : len(seq)] = seq
+                if pd.isna(pdf["e1_beg"].iloc[r]):
+                    # unmarked row: all-zero masks (RelacjoSzukaczBERT.py
+                    # shifts/masks only when e1_beg is present)
+                    continue
                 # +1 shift for [CLS] (RelacjoSzukaczBERT.py:79-83)
                 b1 = int(pdf["e1_beg"].iloc[r]) + 1
                 f1 = int(pdf["e1_end"].iloc[r]) + 1

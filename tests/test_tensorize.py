@@ -37,19 +37,51 @@ def test_masks_and_padding(spark):
 
 
 def test_too_long_filtered(spark):
-    # e2_end+1 >= max_seq_len-1 -> dropped (RelacjoSzukaczBERT.py:84-98)
+    # dropped only when a shifted marker lands STRICTLY beyond
+    # max_seq_len-1 (RelacjoSzukaczBERT.py:89 uses '>')
     long_row = ("u", 0, "x.1", "x.2", list(range(1, 30)), 0, 1, 25, 27, "rel")
     ok_row = ("u", 1, "x.1", "x.2", list(range(1, 10)), 0, 1, 3, 5, "rel")
-    df = _pairs(spark, [long_row, ok_row])
-    assert filter_too_long(df, max_seq_len=20).count() == 1
+    # boundary: e2_end=18 shifts to 19 == max_seq_len-1 -> KEPT (the
+    # round-1 filter dropped it; the reference keeps it)
+    edge_row = ("u", 2, "x.1", "x.2", list(range(1, 20)), 0, 1, 16, 18, "rel")
+    over_row = ("u", 3, "x.1", "x.2", list(range(1, 21)), 0, 1, 17, 19, "rel")
+    df = _pairs(spark, [long_row, ok_row, edge_row, over_row])
+    kept = filter_too_long(df, max_seq_len=20)
+    assert sorted(r["sent_idx"] for r in kept.collect()) == [1, 2]
     out = prepare_model_inputs(df, max_seq_len=20)
-    assert out.count() == 1 and out.first()["sent_idx"] == 1
+    assert sorted(r["sent_idx"] for r in out.collect()) == [1, 2]
 
 
-def test_null_markers_filtered(spark):
-    # natural NO_RELATION rows have null marker indices -> excluded
+def test_null_markers_kept_with_zero_masks(spark):
+    # unmarked rows survive with all-zero entity masks (the reference
+    # only shifts/checks markers when e1_beg is present)
     row = ("u", 0, None, None, [1, 2, 3], None, None, None, None, "NO_RELATION")
-    assert prepare_model_inputs(_pairs(spark, [row])).count() == 0
+    out = prepare_model_inputs(_pairs(spark, [row]), max_seq_len=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["input_ids"][:5] == [CLS_ID, 1, 2, 3, SEP_ID]
+    assert sum(r["e1_mask"]) == 0 and sum(r["e2_mask"]) == 0
+    assert r["attention_mask"][:5] == [1] * 5
+
+
+def test_pairs_fixture_fresh(spark):
+    """The frozen pairs projection (the model_inputs oracle's input,
+    tools/freeze_fixtures.py) must match what the live pipeline produces
+    from the committed page fixtures - guards against fixture drift."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from freeze_fixtures import build_pairs_projection
+
+    live = build_pairs_projection(spark)
+    frozen = spark.read.parquet(
+        os.path.join(repo, "fixtures", "pairs_sf0.01.parquet")
+    )
+    assert live.count() == frozen.count()
+    assert live.exceptAll(frozen).isEmpty()
+    assert frozen.exceptAll(live).isEmpty()
 
 
 def test_end_to_end_from_pipeline(spark):
