@@ -37,6 +37,13 @@ class HashedLinearModel:
         rng = np.random.RandomState(seed)
         self.w = rng.randn(3 * EMB_DIM, len(self.classes)).astype(np.float32)
 
+    @classmethod
+    def from_weights(cls, classes: list[str], w: np.ndarray) -> "HashedLinearModel":
+        model = cls.__new__(cls)
+        model.classes = list(classes)
+        model.w = np.asarray(w, dtype=np.float32)
+        return model
+
     def _emb(self, ids: np.ndarray) -> np.ndarray:
         # hash-derived embeddings: stable across executors, no table
         out = np.zeros(ids.shape + (EMB_DIM,), dtype=np.float32)
@@ -85,12 +92,58 @@ SCORED = T.StructType(
 )
 
 
-def score_with_model(model_inputs: DataFrame, classes: list[str]) -> DataFrame:
+def save_model(model: HashedLinearModel, path: str) -> None:
+    """S9 sink half (EncjoSzukaczLSTM.py:128-133 save_variables /
+    RelacjoSzukaczBERT.py:263-268): persist weights + label inventory as
+    a directory artifact. The format is engine-owned (npz + json), not a
+    TF checkpoint - the lifecycle (train once, restore on every scoring
+    cluster) is what's restated."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, "weights.npz"), w=model.w)
+    with open(os.path.join(path, "classes.json"), "w", encoding="utf-8") as f:
+        json.dump(model.classes, f, ensure_ascii=False)
+
+
+def load_model(path: str) -> HashedLinearModel:
+    """S9 restore half (EncjoSzukaczLSTM.py:135-138 restore_variables /
+    RelacjoSzukaczBERT.py:270-274): rebuild the exact scorer from the
+    artifact - no re-seeding, byte-identical weights."""
+    import json
+    import os
+
+    with open(os.path.join(path, "classes.json"), encoding="utf-8") as f:
+        classes = json.load(f)
+    w = np.load(os.path.join(path, "weights.npz"))["w"]
+    return HashedLinearModel.from_weights(classes, w)
+
+
+def score_with_model(
+    model_inputs: DataFrame,
+    classes: list[str] | None = None,
+    model_path: str | None = None,
+) -> DataFrame:
     """MODEL_INPUTS -> per-pair (model_class, model_score). The model is
-    constructed once per batch iterator (executor-local singleton)."""
+    constructed once per batch iterator (executor-local singleton).
+
+    With ``model_path``, the artifact is loaded ONCE on the driver and
+    shipped to executors via a Spark broadcast (the production restore
+    path: weights move once per executor, not once per task)."""
+    if (classes is None) == (model_path is None):
+        raise ValueError("pass exactly one of classes= or model_path=")
+    bc = None
+    if model_path is not None:
+        restored = load_model(model_path)
+        sc = model_inputs.sparkSession.sparkContext
+        bc = sc.broadcast((restored.classes, restored.w))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = HashedLinearModel(classes)
+        if bc is not None:
+            model = HashedLinearModel.from_weights(*bc.value)
+        else:
+            model = HashedLinearModel(classes)
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=[f.name for f in SCORED.fields])

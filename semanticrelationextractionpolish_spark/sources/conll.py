@@ -2,10 +2,14 @@
 
 The reference splits the file on blank lines in Python
 (/root/reference/ogolny_ner_bert.py:73-83, conll_helpers.py). Spark
-restatement: blank lines are sentence boundaries -> a running sum over a
-blank-line indicator sessionizes lines into sentences (the same window
-trick as event sessionization), then tokens/labels aggregate per
-sentence with order preserved.
+restatement (round-2, shardable): each token line's sentence key is the
+byte offset of the nearest preceding boundary line (blank/-DOCSTART-),
+found with a BUCKETED as-of join on ``floor(off / bucket_bytes)`` with
+boundaries replicated one bucket forward - not a per-file running-sum
+window, so multi-GB files shard across splits. Bound: one sentence must
+span < ``bucket_bytes`` (1 MiB default). Dense sent_ids are ranked over
+the slim (file, sentence-key) projection only - token payloads never
+enter a window.
 """
 
 from __future__ import annotations
@@ -13,34 +17,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .lines import DEFAULT_BUCKET_BYTES, bucket, lines_with_offsets
+
 
 def read_conll(
-    spark: SparkSession, path: str, token_col: int = 0, label_col: int = -1
+    spark: SparkSession,
+    path: str,
+    token_col: int = 0,
+    label_col: int = -1,
+    bucket_bytes: int = DEFAULT_BUCKET_BYTES,
 ) -> DataFrame:
     """-> (file, sent_id, tokens array<string>, labels array<string>)"""
-    lines = (
-        spark.read.text(path)
-        .withColumn("file", F.input_file_name())
-        .withColumn("line_no", F.monotonically_increasing_id())
-    )
-    w = Window.partitionBy("file").orderBy("line_no")
-    is_blank = (F.trim(F.col("value")) == "") | F.col("value").startswith(
+    lines = lines_with_offsets(spark, path)
+    is_boundary = (F.trim(F.col("value")) == "") | F.col("value").startswith(
         "-DOCSTART-"
     )
-    sents = lines.withColumn(
-        "sent_id", F.sum(is_blank.cast("int")).over(w)
-    ).where(~is_blank)
+    bounds = lines.where(is_boundary).select("file", F.col("off").alias("b_off"))
+    toks = lines.where(~is_boundary)
+    b_rep = bounds.withColumn(
+        "bkt",
+        F.explode(
+            F.array(bucket(F.col("b_off"), bucket_bytes), bucket(F.col("b_off"), bucket_bytes) + 1)
+        ),
+    )
+    t_b = toks.withColumn("bkt", bucket(F.col("off"), bucket_bytes))
+    # nearest preceding boundary per token (file start -> sentinel -1)
+    per_tok = (
+        t_b.join(b_rep, ["file", "bkt"], "left")
+        .groupBy("file", "off", "value")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("b_off") < F.col("off"), F.col("b_off"))),
+                F.lit(-1),
+            ).alias("sent_key")
+        )
+    )
     parts = F.split(F.trim(F.col("value")), r"\s+")
     tok = parts.getItem(token_col)
     lab = F.element_at(parts, label_col) if label_col < 0 else parts.getItem(label_col)
-    per_tok = sents.select("file", "sent_id", "line_no", tok.alias("token"), lab.alias("label"))
-    return (
-        per_tok.groupBy("file", "sent_id")
+    sent_rows = (
+        per_tok.select("file", "sent_key", "off", tok.alias("token"), lab.alias("label"))
+        .groupBy("file", "sent_key")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("line_no", "token", "label"))
+                F.collect_list(F.struct("off", "token", "label"))
             ).alias("z")
         )
+    )
+    # dense per-file sentence ids: window over the SLIM key projection
+    # (one short row per sentence), then joined back to the payloads
+    keys = sent_rows.select("file", "sent_key")
+    w = Window.partitionBy("file").orderBy("sent_key")
+    ranked = keys.withColumn("sent_id", F.row_number().over(w) - 1)
+    return (
+        sent_rows.join(ranked, ["file", "sent_key"])
         .select(
             "file",
             "sent_id",

@@ -8,23 +8,28 @@ normalize the relation (X6, readers.py:677-689) - all DataFrame ops; the
 per-sentence marker tokenization (U4) then runs in the standard pairs
 kernel.
 
-KBP37 files are single blobs per split, so ordering within the file is
-the record order; we recover it from a zipWithIndex-free construct:
-``input_file_name`` + a monotonic line number via window over the
-file-order column Spark's text source preserves per-partition. For
-multi-GB line files this reader shards per file-split and keeps pairing
-local to a partition (records never straddle splits in practice because
-the driver re-pairs with a window keyed on line index).
+Sharding (round-2): lines come from ``sources.lines`` with true byte
+offsets, so a record's two lines pair by "nearest preceding sentence
+line" - computed as a BUCKETED equi-join (sentence lines replicated
+into their own and the next ``bucket_bytes`` bucket, then ``max_by``
+per relation line), never a per-file window. Every stage shards across
+file splits; the only bound is that one record must be shorter than
+``bucket_bytes`` (1 MiB default - a 1 MiB *sentence* is corrupt input).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .lines import DEFAULT_BUCKET_BYTES, bucket, lines_with_offsets
 
 
 def read_kbp37(
-    spark: SparkSession, path: str, ignore_directionality: bool = False
+    spark: SparkSession,
+    path: str,
+    ignore_directionality: bool = False,
+    bucket_bytes: int = DEFAULT_BUCKET_BYTES,
 ) -> DataFrame:
     """-> (doc_id string, text string, relation string, is_reversed bool)
 
@@ -33,26 +38,34 @@ def read_kbp37(
         line 2k+1: ``<relation>(e1,e2)`` / ``no_relation``
     Blank separator lines are tolerated.
     """
-    lines = (
-        spark.read.text(path)
-        .withColumn("file", F.input_file_name())
-        .withColumn("line_no", F.monotonically_increasing_id())
-        .where(F.trim(F.col("value")) != "")
-    )
-    w = Window.partitionBy("file").orderBy("line_no")
-    numbered = lines.withColumn("rec_line", F.row_number().over(w) - 1)
-    sent_lines = numbered.where(F.col("rec_line") % 2 == 0).select(
-        (F.col("rec_line") / 2).cast("long").alias("rec"),
+    lines = lines_with_offsets(spark, path).where(F.trim(F.col("value")) != "")
+    is_sent = F.col("value").rlike("^[^\t]+\t")
+    sents = lines.where(is_sent).select(
         "file",
+        F.col("off").alias("s_off"),
         F.split(F.col("value"), "\t").getItem(0).alias("doc_id"),
         F.split(F.col("value"), "\t").getItem(1).alias("text"),
     )
-    rel_lines = numbered.where(F.col("rec_line") % 2 == 1).select(
-        (F.col("rec_line") / 2).cast("long").alias("rec"),
-        "file",
-        F.trim(F.col("value")).alias("raw_rel"),
+    rels = lines.where(~is_sent).select(
+        "file", F.col("off").alias("r_off"), F.trim(F.col("value")).alias("raw_rel")
     )
-    joined = sent_lines.join(rel_lines, ["file", "rec"])
+    # boundary-repaired candidate join: a sentence is visible from its
+    # own bucket and the next, so the relation line one line below it
+    # always finds it regardless of which split boundary fell between
+    s_rep = sents.withColumn(
+        "bkt",
+        F.explode(
+            F.array(bucket(F.col("s_off"), bucket_bytes), bucket(F.col("s_off"), bucket_bytes) + 1)
+        ),
+    )
+    r_b = rels.withColumn("bkt", bucket(F.col("r_off"), bucket_bytes))
+    joined = (
+        r_b.join(s_rep, ["file", "bkt"])
+        .where(F.col("s_off") < F.col("r_off"))
+        .groupBy("file", "r_off", "raw_rel")
+        .agg(F.max_by(F.struct("doc_id", "text"), F.col("s_off")).alias("s"))
+        .select("file", F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"), "raw_rel")
+    )
     raw = F.col("raw_rel")
     rel = (
         F.when(raw == "no_relation", F.lit("NO_RELATION"))

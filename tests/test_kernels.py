@@ -499,3 +499,110 @@ def test_process_document_inline_explode(tok):
     # markers wrap the right surfaces
     e1_span = toks[pr["relation_info"]["e1_beg"] + 1 : pr["relation_info"]["e1_end"]]
     assert tok.detokenize(e1_span) == "adam kowalski"
+
+
+def test_reference_label_pickle_parity():
+    """The one ground-truth artifact the reference ships: the pickled
+    KPWr label vocabulary built by readers_kpwr.py:14-95
+    (kpwr_labels_iob.bak-zklasa0 = (labels_map, rev_labels_map, rels_map,
+    rev_rels_map, label_counts)). Our mk_labels_map / mk_rels_map must
+    reproduce it exactly from the same channel/relation inventory."""
+    import os
+    import pickle
+
+    path = "/root/reference/kpwr_labels_iob.bak-zklasa0"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference artifact not present")
+    labels_map, rev_labels_map, rels_map, rev_rels_map, counts = pickle.load(
+        open(path, "rb")
+    )
+    channels = [c for c in counts.keys() if c != "O"]
+    ours = K.mk_labels_map(channels, "iob")
+    assert ours == labels_map  # all 115 ids, IOB order, O pinned to 0
+    assert {v: k for k, v in ours.items()} == rev_labels_map
+    rel_names = [r for r in rels_map if r != "NO_RELATION"]
+    ours_rels = K.mk_rels_map(rel_names)
+    assert ours_rels == rels_map
+    assert {v: k for k, v in ours_rels.items()} == rev_rels_map
+
+
+def test_tokenize_encoded_xml_v1_normal_case():
+    """v1 driver (readers.py:249-420): scheme-1 slicing insertion. With
+    e1's span before e2's, positions match the v2 arithmetic."""
+    from semanticrelationextractionpolish_spark.functions.tokenizer import (
+        DeterministicTokenizer,
+    )
+
+    tok = DeterministicTokenizer()
+    doc = (
+        'Ala <entity id="d.1">Kowalska</entity> zna '
+        '<entity id="d.2">Opole</entity> dobrze.'
+    )
+    t, ti, e, ei, ann = K.tokenize_encoded_xml_v1(
+        doc_id="d",
+        doc_text=doc,
+        tokenizer=tok,
+        entity_encoding_scheme="iob",
+        raw_relations={"d": {("d.1", "d.2"): "knows"}},
+    )
+    assert t[0] == [
+        "▁ala", "<e1>", "▁kowals", "ka", "</e1>",
+        "▁zna", "<e2>", "▁opole", "</e2>", "▁dobrze", ".",
+    ]
+    assert ann[0] == {
+        "e1_beg": 1, "e1_end": 4, "e2_beg": 6, "e2_end": 8,
+        "relation_class": "knows", "is_reversed": "FIXME",
+    }
+    assert e[0][1] == "B-ENT" and e[0][2] == "I-ENT"
+    assert len(t[0]) == len(ti[0]) == len(e[0]) == len(ei[0])
+    # marker ids come from the tokenizer's special inventory
+    assert ti[0][1] == tok.special_token_ids["<e1>"]
+
+
+def test_tokenize_encoded_xml_v1_stale_index_quirk():
+    """When the pair's FIRST entity occurs AFTER the second in the
+    sentence, v1 inserts the e1 markers at indices computed before the
+    e2 insertion shifted the list (readers.py:341-344 vs :381-386).
+    The garbled layout below is the reference's own output shape -
+    preserved bug-for-bug; v2 (process_document_inline) fixes it."""
+    from semanticrelationextractionpolish_spark.functions.tokenizer import (
+        DeterministicTokenizer,
+    )
+
+    tok = DeterministicTokenizer()
+    doc = '<entity id="d.2">Opole</entity> zna <entity id="d.1">Ala</entity> dobrze.'
+    t, _, _, _, ann = K.tokenize_encoded_xml_v1(
+        doc_id="d",
+        doc_text=doc,
+        tokenizer=tok,
+        entity_encoding_scheme="iob",
+        raw_relations={"d": {("d.1", "d.2"): "knows"}},
+    )
+    assert t[0] == [
+        "<e2>", "▁opole", "<e1>", "</e2>", "</e1>", "▁zna", "▁ala", "▁dobrze", ".",
+    ]
+    assert ann[0]["e1_beg"] == 2 and ann[0]["e2_end"] == 3
+
+
+def test_tokenize_encoded_xml_v1_no_rel_retention():
+    from semanticrelationextractionpolish_spark.functions.tokenizer import (
+        DeterministicTokenizer,
+    )
+
+    tok = DeterministicTokenizer()
+    doc = "Nic tu nie ma."
+    t, _, _, _, ann = K.tokenize_encoded_xml_v1(
+        doc_id="d", doc_text=doc, tokenizer=tok, entity_encoding_scheme="iob"
+    )
+    assert len(t) == 1
+    assert ann[0] == {"comment": "global", "relation_class": "NO_RELATION"}
+    t2, _, _, _, ann2 = K.tokenize_encoded_xml_v1(
+        doc_id="d",
+        doc_text=doc,
+        tokenizer=tok,
+        entity_encoding_scheme="iob",
+        retain_natural_no_rels=False,
+    )
+    assert t2 == [] and ann2 == []

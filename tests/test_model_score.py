@@ -95,3 +95,47 @@ def test_score_with_model_spark(spark):
     # deterministic across runs
     rows2 = score_with_model(inputs, classes).collect()
     assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}
+
+
+def test_model_artifact_roundtrip(spark, tmp_path):
+    """S9 lifecycle: save trained(-stand-in) weights, restore them on
+    executors via broadcast, and get byte-identical scores. The saved
+    weights are perturbed from the seeded init to prove the restore path
+    really reads the artifact instead of re-seeding."""
+    from semanticrelationextractionpolish_spark.operators.model_score import (
+        load_model,
+        save_model,
+    )
+    from semanticrelationextractionpolish_spark.operators.pairs import generate_pairs
+    from semanticrelationextractionpolish_spark.operators.segment import (
+        segment_and_tag,
+    )
+    from semanticrelationextractionpolish_spark.operators.tensorize import (
+        prepare_model_inputs,
+    )
+    from semanticrelationextractionpolish_spark.sources.synth import (
+        PREDICATE_PATTERNS,
+        synth_pages,
+    )
+
+    classes = sorted(set(PREDICATE_PATTERNS.values())) + ["NO_RELATION"]
+    model = HashedLinearModel(classes)
+    model.w = model.w + 0.25  # "training" happened
+    path = str(tmp_path / "model_artifact")
+    save_model(model, path)
+    restored = load_model(path)
+    assert restored.classes == classes
+    assert np.array_equal(restored.w, model.w)
+
+    pages, rels = synth_pages(spark, 10)
+    sents = segment_and_tag(pages.where("lang='pl'"))
+    inputs = prepare_model_inputs(generate_pairs(sents, rels), max_seq_len=64)
+    from_artifact = {
+        tuple(r) for r in score_with_model(inputs, model_path=path).collect()
+    }
+    seeded = {tuple(r) for r in score_with_model(inputs, classes=classes).collect()}
+    assert from_artifact  # nonempty
+    assert from_artifact != seeded  # perturbed weights actually used
+    # and a second restore is identical (determinism of the restore path)
+    again = {tuple(r) for r in score_with_model(inputs, model_path=path).collect()}
+    assert from_artifact == again

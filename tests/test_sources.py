@@ -251,3 +251,35 @@ def test_kpwr_poisoned_sentence_quarantined(spark, kpwr_dfs):
     # healthy sentences still flow
     good = exploded.where("quarantine_error IS NULL").collect()
     assert any(r["relation_class"] == "NO_RELATION" for r in good)
+
+
+def test_readers_shard_boundary_repair(spark, tmp_path):
+    """The bucketed pairing must be insensitive to where bucket
+    boundaries fall: a tiny bucket_bytes forces records to straddle
+    buckets constantly, and the result must equal the one-big-bucket
+    read (boundary replication = the repair)."""
+    from semanticrelationextractionpolish_spark.sources.conll import read_conll
+    from semanticrelationextractionpolish_spark.sources.kbp37 import read_kbp37
+
+    kbp = []
+    for i in range(40):
+        kbp.append(f'{i}\t" the <e1> alpha {i} </e1> works at <e2> beta {i} </e2> now "')
+        kbp.append("org:founded_by(e1,e2)" if i % 2 == 0 else "no_relation")
+        kbp.append("")
+    (tmp_path / "kbp.txt").write_text("\n".join(kbp), encoding="utf-8")
+    big = read_kbp37(spark, str(tmp_path / "kbp.txt")).collect()
+    tiny = read_kbp37(spark, str(tmp_path / "kbp.txt"), bucket_bytes=256).collect()
+    assert len(big) == 40
+    assert sorted(map(tuple, big)) == sorted(map(tuple, tiny))
+
+    conll = ["-DOCSTART- -X- O O", ""]
+    for i in range(30):
+        for w in range(1 + i % 4):
+            conll.append(f"tok{i}_{w} NNP B-ORG" if w == 0 else f"tok{i}_{w} NNP I-ORG")
+        conll.append("")
+    (tmp_path / "conll.txt").write_text("\n".join(conll), encoding="utf-8")
+    big_c = read_conll(spark, str(tmp_path / "conll.txt"))
+    tiny_c = read_conll(spark, str(tmp_path / "conll.txt"), bucket_bytes=128)
+    bc = sorted((tuple(r["tokens"]), tuple(r["labels"])) for r in big_c.collect())
+    tc = sorted((tuple(r["tokens"]), tuple(r["labels"])) for r in tiny_c.collect())
+    assert bc == tc and len(bc) == 30
