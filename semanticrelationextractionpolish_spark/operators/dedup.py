@@ -44,20 +44,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_ngrams(text_col, n: int = 3):
-    toks = F.split(_norm(text_col), " ")
-    cnt = F.size(toks) - (n - 1)
-    # NB: sequence(1, 0) would generate a DESCENDING sequence - guard the
-    # short-document case with an explicit empty array
-    grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
-    return F.array_distinct(grams)
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -73,18 +59,52 @@ def ngram_jaccard_pairs(
     the inverted index -> count shared shingles -> verify Jaccard with
     per-doc shingle counts.
     """
-    sized = df.select(
-        "doc_id", word_ngrams(F.col(text_col), n).alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
-    # join on the 64-bit gram hash, not the string: the inverted index is
-    # the biggest shuffle here and long keys move ~5x fewer bytes than
-    # word trigrams (collision risk 1e-9 at 1e5 distinct grams is far
-    # below the jaccard threshold's sensitivity)
-    inv = sized.select(
-        "doc_id", "n_grams", F.explode("grams").alias("g")
-    ).select("doc_id", "n_grams", F.xxhash64("g").alias("gram"))
-    gram_df = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
-    inv = inv.join(gram_df.where(F.col("gdf") <= max_ngram_df), "gram")
+    # hashed shingling: hash each token ONCE (xxhash64), then combine n
+    # consecutive token hashes into the gram key - no per-gram string
+    # concatenation, and long keys move ~5x fewer shuffle bytes than word
+    # trigrams (collision risk 1e-9 at 1e5 distinct grams is far below
+    # the jaccard threshold's sensitivity). The split/tokenize/gram steps
+    # are STAGED through separate selects: nesting them in one expression
+    # tree makes the HOF lambdas re-evaluate the upstream regex split per
+    # array element (measured 16s vs 0.4s on 5k docs at sf0.1).
+    tokenized = df.select(
+        "doc_id", F.split(_norm(F.col(text_col)), " ").alias("toks")
+    )
+    hashed = tokenized.select(
+        "doc_id", F.transform("toks", lambda w: F.xxhash64(w)).alias("tok_h")
+    )
+    cnt = F.size("tok_h") - (n - 1)
+    gram_keys = F.when(cnt < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("tok_h"), i + k) for k in range(n)]
+            ),
+        )
+    )
+    # materialize the per-doc gram arrays BEFORE exploding: Spark's
+    # Generate collapses the gram-building expression into itself and
+    # re-evaluates it per exploded element (measured 12s vs 0.1s on 260k
+    # grams at sf0.1). One skinny array row per doc - at production scale
+    # this is the shingle stage-checkpoint table.
+    sized = (
+        hashed.select("doc_id", F.array_distinct(gram_keys).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+        .localCheckpoint(eager=True)
+    )
+    inv = sized.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    # frequency cap via a window over the gram partitioning: ONE pass over
+    # the inverted index (the round-1 groupBy+join recomputed the whole
+    # index twice); the capped index is materialized so the self-join's
+    # two sides read it instead of re-exploding
+    # (same localCheckpoint discipline as minhash_near_dup_pairs)
+    gdf = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    inv = (
+        inv.withColumn("gdf", gdf)
+        .where(F.col("gdf") <= max_ngram_df)
+        .drop("gdf")
+        .localCheckpoint(eager=True)
+    )
     a = inv.select(
         F.col("gram"),
         F.col("doc_id").alias("doc_a"),
@@ -127,10 +147,20 @@ def minhash_near_dup_pairs(
     scale path (candidates ~ linear in corpus size)."""
     from .linking import lsh_candidate_pairs
 
-    grams = df.select(
+    # staged select: building the shingles over a materialized token
+    # column keeps the HOF from re-splitting the text per element
+    toks_df = df.select(
         F.col("doc_id").cast("string").alias("lemma"),
-        word_ngrams(F.col(text_col), n).alias("shingles"),
+        F.split(_norm(F.col(text_col)), " ").alias("toks"),
     )
+    cnt = F.size("toks") - (n - 1)
+    shingles = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+        )
+    )
+    grams = toks_df.select("lemma", F.array_distinct(shingles).alias("shingles"))
     # reuse the band join but with precomputed word shingles: inline a
     # variant here to avoid re-shingling characters
     from .linking import MAX_BUCKET, N_BANDS, N_HASHES
@@ -187,9 +217,13 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     hashes. Hybrid plan: token hashing stays JVM-side (xxhash64 inside a
     codegen'd transform); the 64-bit vote/pack runs as ONE vectorized
     numpy kernel per Arrow batch (the pure-Column version needed 64
-    interpreted array scans per row - measured ~4x slower at sf0.1)."""
-    toks = F.split(_norm(F.col(text_col)), " ")
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    interpreted array scans per row - measured ~4x slower at sf0.1).
+    The split is staged through its own select so the hashing transform
+    doesn't re-run the regex split per token."""
+    staged = df.select(
+        "doc_id", F.split(_norm(F.col(text_col)), " ").alias("toks")
+    )
+    hashes = F.transform(F.col("toks"), lambda w: F.xxhash64(w))
 
     @pandas_udf(T.LongType())
     def pack_simhash(hs: pd.Series) -> pd.Series:
@@ -208,7 +242,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
             out[i] = packed.astype(np.int64)
         return pd.Series(out)
 
-    return df.select("doc_id", pack_simhash(hashes).alias("simhash"))
+    return staged.select("doc_id", pack_simhash(hashes).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
