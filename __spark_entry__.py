@@ -861,7 +861,9 @@ def oracle_sql() -> dict[str, str]:
               = CAST(string_split(e2_id, '.')[2] AS INT)
     """
 
-    # kg_triples, minhash/simhash/ann/media_features, ner_mentions:
-    # rows-only (non-SQL-expressible kernels: subword tokenization, Spark
-    # internal hash functions, gazetteer matching, stubbed media decode)
+    # Remaining rows-only (genuinely cross-engine-inexpressible):
+    # minhash_neardup/simhash_neardup (Spark-internal xxhash64 signatures),
+    # ner_mentions (gazetteer longest-match kernel), kg_triples
+    # (hash-dependent linking ids; its pre-linking form IS exact via
+    # kg_gold_parity).
     return o

@@ -36,6 +36,7 @@ def build_kg(
     add_no_relations: bool = True,
     persist: bool = True,
     link: bool = True,
+    co_partitioned: bool | None = None,
 ) -> dict:
     """Run the full pipeline; returns a dict of stage DataFrames.
 
@@ -80,13 +81,20 @@ def build_kg(
     mentions = ckpt(mentions_from_sentences(sentences), "mentions")
     # fast path: when sentences come straight from segment (or its
     # partition-preserving persist), skip the fat sentence shuffle; a
-    # parquet checkpoint read may split files, so use the safe path there
+    # parquet checkpoint read may split files, so use the safe path there.
+    # Callers with DENSE per-page gold annotations (synthetic corpora)
+    # should pass co_partitioned=False: the fast path's broadcast of the
+    # relations dim is built on the driver, a serial floor that caps
+    # executor scaling when the dim is corpus-sized. At web scale gold
+    # sets are tiny/absent and the broadcast is the right default.
+    if co_partitioned is None:
+        co_partitioned = checkpoint_dir is None
     pairs = ckpt(
         generate_pairs(
             sentences,
             page_relations,
             add_no_relations=add_no_relations,
-            co_partitioned=checkpoint_dir is None,
+            co_partitioned=co_partitioned,
         ),
         "pairs",
     )

@@ -77,3 +77,59 @@ def test_page_rate_windowed(spark, tmp_path):
     rows = spark.sql("SELECT * FROM rates").collect()
     assert rows and all(r["n_pages"] > 0 for r in rows)
     assert {r["lang"] for r in rows} >= {"pl"}
+
+
+def test_streaming_stateful_dedup_across_restarts(spark, tmp_path):
+    """applyInPandasWithState dedup: each distinct content is first_seen
+    exactly once - across micro-batches AND across a stream restart from
+    the same checkpoint (state recovery = the north rule's exactly-once
+    resumability, streaming form)."""
+    from semanticrelationextractionpolish_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(in_dir)
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = spark.createDataFrame(
+        [(1, "ala ma kota"), (2, "zupelnie inny tekst"), (3, "Ala  MA kota ")],
+        "doc_id long, text string",
+    )
+    batch1.write.mode("append").parquet(str(in_dir))
+    run_once()
+    out1 = spark.read.parquet(out_dir)
+    firsts1 = {r["keeper_doc_id"] for r in out1.where("first_seen").collect()}
+    # doc 3 normalizes to doc 1's content -> one group, keeper=1
+    assert firsts1 == {1, 2}
+    assert out1.where("content_md5 IS NULL").count() == 0
+
+    # restart with new files: one repeat (doc 4 == doc 1) + one new
+    batch2 = spark.createDataFrame(
+        [(4, "ala ma kota"), (5, "nowy dokument")], "doc_id long, text string"
+    )
+    batch2.write.mode("append").parquet(str(in_dir))
+    run_once()
+    out2 = spark.read.parquet(out_dir)
+    # the repeated content is NOT first_seen again and keeps keeper=1
+    rep = out2.where("keeper_doc_id = 1").orderBy("first_seen").collect()
+    assert [r["first_seen"] for r in rep] == [False, True]
+    assert all(r["keeper_doc_id"] == 1 for r in rep)
+    firsts2 = {r["keeper_doc_id"] for r in out2.where("first_seen").collect()}
+    assert firsts2 == {1, 2, 5}
