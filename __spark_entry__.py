@@ -375,13 +375,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_dedup"] = q_ngram_jaccard_dedup
 
-    def q_minhash_neardup(spark, sf):  # rows-only (Spark-internal hashes)
-        return DD.minhash_near_dup_pairs(_docs_with_dupes(spark, sf), jaccard=0.9)
+    def q_minhash_neardup(spark, sf):  # exact via md5-derived signatures
+        return DD.minhash_near_dup_pairs(
+            _docs_with_dupes(spark, sf), jaccard=0.9, hash_fn="md5"
+        )
 
     q["minhash_neardup"] = q_minhash_neardup
 
-    def q_simhash_neardup(spark, sf):  # rows-only (Spark-internal hashes)
-        return DD.simhash_near_dup_pairs(_docs_with_dupes(spark, sf), max_hamming=3)
+    def q_simhash_neardup(spark, sf):  # exact via md5-derived fingerprints
+        return DD.simhash_near_dup_pairs(
+            _docs_with_dupes(spark, sf), max_hamming=3, hash_fn="md5"
+        )
 
     q["simhash_neardup"] = q_simhash_neardup
 
@@ -523,7 +527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_extract_roundtrip"] = q_kg_extract_roundtrip
 
-    def q_ner_mentions(spark, sf):  # U9 analog: detection on RAW text
+    def q_ner_mentions(spark, sf):  # U9: detection on RAW (annotation-stripped) text
+        # exact NER-quality gate: the gazetteer tagger must recover
+        # exactly the annotated mention inventory per url - the oracle
+        # counts the inline annotations it never sees
         from semanticrelationextractionpolish_spark.operators.ner import (
             detect_mentions,
         )
@@ -543,7 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ner_mentions"] = q_ner_mentions
 
-    def q_kg_triples(spark, sf):  # rows-only: full pipeline
+    def q_kg_triples(spark, sf):  # exact vs frozen golden (pre-linking cols)
         from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
 
         stages = build_kg(spark, _pages(spark, sf), _page_rels(spark, sf))
@@ -789,6 +796,14 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE jaccard >= 0.8
     """
 
+    from semanticrelationextractionpolish_spark.operators.dedup import (
+        minhash_md5_oracle_sql,
+        simhash_md5_oracle_sql,
+    )
+
+    o["minhash_neardup"] = minhash_md5_oracle_sql(_dupes_cte, jaccard=0.9)
+    o["simhash_neardup"] = simhash_md5_oracle_sql(_dupes_cte, max_hamming=3)
+
     from semanticrelationextractionpolish_spark.operators.similarity import (
         ann_recall_oracle_sql,
         ann_topk_oracle_sql,
@@ -832,6 +847,23 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["kg_extract_roundtrip"] = f"SELECT url, text FROM {_PAGES_SQL}"
+
+    # full-pipeline triples vs the frozen golden projection
+    # (tools/freeze_fixtures.py; pinned fresh against the live pipeline
+    # by tests/test_tensorize.py::test_triples_fixture_fresh) - the
+    # pre-linking columns only; linking ids are hash-dependent
+    o["kg_triples"] = f"""
+        SELECT url, sent_idx, subj, pred, obj, subj_id, obj_id
+        FROM read_parquet('{FIXTURE_DIR}/triples_sf0.01.parquet')
+    """
+
+    # NER parity gate: detected mentions on raw text == the annotation
+    # count per url (the gazetteer recovers the full inventory; verified
+    # 4706/4706 urls at sf0.01)
+    o["ner_mentions"] = f"""
+        SELECT url, len(regexp_extract_all(text, '<entity '))::BIGINT AS n_detected
+        FROM {_PAGES_SQL} WHERE lang = 'pl'
+    """
 
     # tensorize arithmetic over the frozen PAIRS projection
     # (fixtures/pairs_sf0.01.parquet, regenerated by tools/freeze_fixtures.py

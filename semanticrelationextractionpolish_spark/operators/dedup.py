@@ -137,16 +137,30 @@ def ngram_jaccard_pairs(
     )
 
 
+MERSENNE_P = (1 << 31) - 1  # modulus of the cross-engine sig-hash family
+
+
+def _md5_long(col):
+    """Cross-engine 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+    Spark md5 == DuckDB md5, so signatures/band keys derived this way are
+    recomputable by the SQL oracle (Spark's hash/xxhash64 are not)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     n: int = 3,
     jaccard: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-banded near-duplicate candidates, Jaccard-verified: the
-    scale path (candidates ~ linear in corpus size)."""
-    from .linking import lsh_candidate_pairs
+    scale path (candidates ~ linear in corpus size).
 
+    ``hash_fn``: ``"xxhash64"`` (default - fastest, Spark-internal) or
+    ``"md5"`` (cross-engine: the DuckDB oracle recomputes the identical
+    signatures/bands, upgrading the driver check from rows-only to
+    exact; see ``minhash_md5_oracle_sql``)."""
     # staged select: building the shingles over a materialized token
     # column keeps the HOF from re-splitting the text per element
     toks_df = df.select(
@@ -165,23 +179,67 @@ def minhash_near_dup_pairs(
     # variant here to avoid re-shingling characters
     from .linking import MAX_BUCKET, N_BANDS, N_HASHES
 
-    # single nested-HOF signature expression (see linking.add_minhash_bands)
-    sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.hash(s, i))
-        ),
-    )
     rows_per_band = N_HASHES // N_BANDS
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-        lambda b: F.hash(
-            b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
-        ),
-    )
+    if hash_fn == "md5":
+        # ONE md5 per shingle, then a universal-hash family
+        # ((h*a_i + b_i) mod p, p = 2^31-1) for the 16 signatures: all
+        # operands < 2^31 so the products never overflow a BIGINT -
+        # Java's wrapping multiply and DuckDB's checked multiply agree,
+        # which is what makes the oracle recompute identical signatures.
+        p = MERSENNE_P
+        grams = grams.select(
+            "lemma",
+            "shingles",
+            F.transform("shingles", lambda s: _md5_long(s) % p).alias("sh_h"),
+        )
+        sigs = F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh_h"),
+                    lambda h: (h * ((i * 2654435761) % p + 1) + i * 40503 + 7) % p,
+                )
+            ),
+        )
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: _md5_long(
+                F.concat(
+                    b.cast("string"),
+                    F.lit("|"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    ),
+                )
+            ),
+        )
+    else:
+        # single nested-HOF signature expression (see linking.add_minhash_bands)
+        sigs = F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.hash(s, i))
+            ),
+        )
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.hash(
+                b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
+            ),
+        )
+    # materialize the signatures BEFORE the band posexplode: Generate
+    # inlines and re-evaluates its expression per exploded element, so
+    # without this barrier the 16 array_min signature scans run once per
+    # band (8x) instead of once per doc
+    with_sigs = grams.withColumn("sigs", sigs).localCheckpoint(eager=True)
     banded = (
-        grams.withColumn("sigs", sigs)
-        .select("lemma", "shingles", F.posexplode(bands).alias("band_idx", "band_hash"))
+        with_sigs.select(
+            "lemma", "shingles", F.posexplode(bands).alias("band_idx", "band_hash")
+        )
         .localCheckpoint(eager=True)
     )
     sizes = banded.groupBy("band_idx", "band_hash").agg(
@@ -212,18 +270,126 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens: sign of the per-bit sum of token
-    hashes. Hybrid plan: token hashing stays JVM-side (xxhash64 inside a
-    codegen'd transform); the 64-bit vote/pack runs as ONE vectorized
+def minhash_md5_oracle_sql(
+    docs2_cte: str, jaccard: float = 0.7, n: int = 3
+) -> str:
+    """DuckDB mirror of ``minhash_near_dup_pairs(hash_fn='md5')``:
+    recomputes the identical shingles, signatures, band keys, bucket cap
+    and Jaccard verification. ``docs2_cte`` must define a CTE named
+    ``docs2(doc_id, text)`` (e.g. the planted-duplicates union)."""
+    from .linking import MAX_BUCKET, N_BANDS, N_HASHES
+
+    rpb = N_HASHES // N_BANDS
+    h = lambda expr: f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+    return f"""
+        {docs2_cte}
+        , toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM docs2
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) - {n - 1} < 1 THEN []::VARCHAR[]
+                   ELSE [array_to_string(toks[i:i+{n - 1}], ' ')
+                         FOR i IN range(1, greatest(len(toks) - {n - 1}, 1) + 1)]
+                 END) AS shingles
+          FROM toks
+        ), hashed AS (
+          SELECT doc_id, shingles,
+                 list_transform(shingles, s -> {h('s')} % {MERSENNE_P}) AS sh_h
+          FROM grams
+        ), sigs AS (
+          SELECT doc_id, shingles,
+                 list_transform(range(0, {N_HASHES}),
+                   i -> list_min(list_transform(sh_h,
+                          h -> (h * ((i * 2654435761) % {MERSENNE_P} + 1) + i * 40503 + 7) % {MERSENNE_P}))) AS sigs
+          FROM hashed
+        ), banded AS (
+          SELECT doc_id, b AS band_idx,
+                 {h(f"b::VARCHAR || '|' || array_to_string(sigs[{rpb}*b+1:{rpb}*b+{rpb}], ',')")} AS band_hash
+          FROM sigs, range(0, {N_BANDS}) t(b)
+        ), capped AS (
+          SELECT * FROM banded
+          QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM capped a JOIN capped b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(ga.shingles, gb.shingles))
+                     / CAST(len(list_distinct(ga.shingles || gb.shingles)) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN grams ga ON ga.doc_id = doc_a
+        JOIN grams gb ON gb.doc_id = doc_b
+        WHERE round(len(list_intersect(ga.shingles, gb.shingles))
+                    / CAST(len(list_distinct(ga.shingles || gb.shingles)) AS DOUBLE), 6) >= {jaccard}
+    """
+
+
+def simhash_md5_oracle_sql(docs2_cte: str, max_hamming: int = 6) -> str:
+    """DuckDB mirror of ``simhash_near_dup_pairs(hash_fn='md5')``:
+    recomputes the 60-bit fingerprints (per-bit majority vote over
+    md5-derived token hashes), the 4x15-bit bands, and the exact
+    bit_count(xor) hamming verification."""
+    h = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+    vote_bit = (
+        f"CASE WHEN coalesce(list_sum(list_transform(hashes, "
+        f"h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN (1::BIGINT << b) ELSE 0 END"
+    )
+    return f"""
+        {docs2_cte}
+        , toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM docs2
+        ), hashed AS (
+          SELECT doc_id, list_transform(toks, t -> {h}) AS hashes FROM toks
+        ), fp AS (
+          SELECT doc_id,
+                 coalesce(list_sum(list_transform(range(0, 60), b -> {vote_bit})), 0)::BIGINT AS simhash
+          FROM hashed
+        ), banded AS (
+          SELECT doc_id, simhash, b AS band_idx,
+                 (simhash >> (15 * b)) & 32767 AS band_val
+          FROM fp, range(0, 4) t(b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sim_a, b.simhash AS sim_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over word tokens: sign of the per-bit sum of token
+    hashes. Hybrid plan: token hashing stays JVM-side (inside a
+    codegen'd transform); the per-bit vote/pack runs as ONE vectorized
     numpy kernel per Arrow batch (the pure-Column version needed 64
     interpreted array scans per row - measured ~4x slower at sf0.1).
     The split is staged through its own select so the hashing transform
-    doesn't re-run the regex split per token."""
+    doesn't re-run the regex split per token.
+
+    ``hash_fn="md5"`` derives 60-bit token hashes from md5 so the DuckDB
+    oracle can recompute identical fingerprints (pass bits=60)."""
     staged = df.select(
         "doc_id", F.split(_norm(F.col(text_col)), " ").alias("toks")
     )
-    hashes = F.transform(F.col("toks"), lambda w: F.xxhash64(w))
+    if hash_fn == "md5":
+        hashes = F.transform(F.col("toks"), lambda w: _md5_long(w))
+    else:
+        hashes = F.transform(F.col("toks"), lambda w: F.xxhash64(w))
 
     @pandas_udf(T.LongType())
     def pack_simhash(hs: pd.Series) -> pd.Series:
@@ -246,19 +412,25 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Banded SimHash blocking: 4 x 16-bit bands; a pair within hamming
-    distance <= 6 of a 64-bit hash must agree on at least one band
-    (pigeonhole when distance < 4 bands); verified exactly with
-    bit_count(xor)."""
-    sh = simhash(df, text_col)
+    """Banded SimHash blocking: 4 bands of bits/4; a pair within hamming
+    distance < 4 must agree on at least one band (pigeonhole); verified
+    exactly with bit_count(xor). ``hash_fn="md5"`` = 60-bit fingerprints
+    recomputable by the DuckDB oracle (simhash_md5_oracle_sql)."""
+    bits = 60 if hash_fn == "md5" else 64
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
+    sh = simhash(df, text_col, bits=bits, hash_fn=hash_fn)
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.shiftright(F.col("simhash"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), band_bits * i)
+                .bitwiseAND(F.lit(band_mask))
                 .alias("band_val"),
             )
             for i in range(4)

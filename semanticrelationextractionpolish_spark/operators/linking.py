@@ -53,7 +53,6 @@ def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
             F.transform(F.col("shingles"), lambda s: F.hash(s, i))
         ),
     )
-    with_sig = with_sh.withColumn("sigs", sigs)
     rows_per_band = N_HASHES // N_BANDS
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -61,7 +60,11 @@ def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
             b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
         ),
     )
-    return with_sh.withColumn("sigs", sigs).select(
+    # materialize signatures before the band posexplode: Generate
+    # re-evaluates its expression per exploded element, so without the
+    # barrier the 16 array_min scans run once per band (8x) per row
+    with_sig = with_sh.withColumn("sigs", sigs).localCheckpoint(eager=True)
+    return with_sig.select(
         key,
         "shingles",
         F.posexplode(bands).alias("band_idx", "band_hash"),

@@ -84,6 +84,26 @@ def test_pairs_fixture_fresh(spark):
     assert frozen.exceptAll(live).isEmpty()
 
 
+def test_triples_fixture_fresh(spark):
+    """The frozen triples golden (the kg_triples oracle's table) must
+    match what the live pipeline produces from the committed page
+    fixtures."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from freeze_fixtures import build_triples_projection
+
+    live = build_triples_projection(spark)
+    frozen = spark.read.parquet(
+        os.path.join(repo, "fixtures", "triples_sf0.01.parquet")
+    )
+    assert live.count() == frozen.count()
+    assert live.exceptAll(frozen).isEmpty()
+    assert frozen.exceptAll(live).isEmpty()
+
+
 def test_end_to_end_from_pipeline(spark):
     from semanticrelationextractionpolish_spark.operators.pairs import generate_pairs
     from semanticrelationextractionpolish_spark.operators.segment import (

@@ -51,26 +51,57 @@ def build_pairs_projection(spark, tag: str = "sf0.01"):
     )
 
 
-def main():
-    from semanticrelationextractionpolish_spark.session import get_spark
+def build_triples_projection(spark, tag: str = "sf0.01"):
+    """Full-pipeline triples on the committed page fixtures (pre-linking
+    columns only - linking ids are hash-dependent and stay rows-only)."""
+    from pyspark.sql import functions as F  # noqa: F811
 
-    spark = get_spark(app_name="freeze-fixtures", cores=8, shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
+    from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
+
+    pages = spark.read.parquet(os.path.join(FIXTURES, f"pages_{tag}.parquet"))
+    rels = spark.read.parquet(
+        os.path.join(FIXTURES, f"page_relations_{tag}.parquet")
+    )
+    stages = build_kg(spark, pages, rels, link=False)
+    return stages["triples"].select(
+        "url", "sent_idx", "subj", "pred", "obj", "subj_id", "obj_id"
+    )
+
+
+def _write_single(df, out):
     import glob
     import shutil
 
-    out = os.path.join(FIXTURES, "pairs_sf0.01.parquet")
     tmp_dir = out + ".spark"
-    df = build_pairs_projection(spark).orderBy("url", "sent_idx", "e1_id", "e2_id")
     df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    # flatten to a single file (matches the pages fixtures; lets DuckDB
-    # read_parquet the path without a glob)
     part = glob.glob(os.path.join(tmp_dir, "*.parquet"))[0]
     if os.path.isdir(out):
         shutil.rmtree(out)
     shutil.move(part, out)
     shutil.rmtree(tmp_dir)
+
+
+def main():
+    from semanticrelationextractionpolish_spark.session import get_spark
+
+    spark = get_spark(app_name="freeze-fixtures", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    # single files (match the pages fixtures; DuckDB read_parquet needs
+    # no glob)
+    out = os.path.join(FIXTURES, "pairs_sf0.01.parquet")
+    _write_single(
+        build_pairs_projection(spark).orderBy("url", "sent_idx", "e1_id", "e2_id"),
+        out,
+    )
     print(f"wrote {out}: {spark.read.parquet(out).count()} rows")
+    out_t = os.path.join(FIXTURES, "triples_sf0.01.parquet")
+    _write_single(
+        build_triples_projection(spark).orderBy(
+            "url", "sent_idx", "subj_id", "obj_id", "pred"
+        ),
+        out_t,
+    )
+    print(f"wrote {out_t}: {spark.read.parquet(out_t).count()} rows")
 
 
 if __name__ == "__main__":
