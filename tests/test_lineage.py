@@ -77,3 +77,33 @@ def test_checkpoint_resume_skips_recompute(spark, tmp_path):
     # resume=False forces recompute
     df3 = checkpoint_parquet(pages.limit(3), path, resume=False)
     assert df3.count() == 3
+
+
+def test_midpipeline_kill_resume(spark, tmp_path):
+    """North-rule resumability, failure shape: a run dies mid-pipeline
+    leaving (a) complete early-stage checkpoints and (b) a PARTIAL later
+    stage (files but no _SUCCESS). The re-run must reuse the complete
+    stages untouched and recompute the partial one from them."""
+    import shutil
+
+    from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
+
+    pages, rels = synth_pages(spark, 25)
+    ck = str(tmp_path / "kgck")
+    stages = build_kg(spark, pages, rels, checkpoint_dir=ck, link=False)
+    want_triples = stages["triples"].count()
+    assert os.path.exists(os.path.join(ck, "pairs", "_SUCCESS"))
+
+    # simulate the kill: pairs died mid-write (drop its _SUCCESS, leave
+    # part files), triples never ran
+    os.remove(os.path.join(ck, "pairs", "_SUCCESS"))
+    shutil.rmtree(os.path.join(ck, "triples"))
+    sent_success = os.path.join(ck, "sentences", "_SUCCESS")
+    sent_mtime = os.path.getmtime(sent_success)
+
+    stages2 = build_kg(spark, pages, rels, checkpoint_dir=ck, link=False)
+    assert stages2["triples"].count() == want_triples
+    # sentences stage untouched (resumed), pairs re-written to completion
+    assert os.path.getmtime(sent_success) == sent_mtime
+    assert os.path.exists(os.path.join(ck, "pairs", "_SUCCESS"))
+    assert os.path.exists(os.path.join(ck, "triples", "_SUCCESS"))
