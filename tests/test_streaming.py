@@ -133,3 +133,62 @@ def test_streaming_stateful_dedup_across_restarts(spark, tmp_path):
     assert all(r["keeper_doc_id"] == 1 for r in rep)
     firsts2 = {r["keeper_doc_id"] for r in out2.where("first_seen").collect()}
     assert firsts2 == {1, 2, 5}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: with a 1h watermark on warc_ts, a row that
+    arrives in a later micro-batch but is older than the checkpointed
+    watermark is DROPPED - its window emits with the on-time count
+    only."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from semanticrelationextractionpolish_spark import schemas
+
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+
+    def mk(doc_id, hour, minute=0):
+        return (
+            f"https://w{doc_id}.example.pl/doc/{doc_id}",
+            dt.datetime(2024, 1, 5, hour, minute),
+            b"<html></html>",
+            "tekst.",
+            "pl",
+        )
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schemas.PAGES).write.mode("append").parquet(
+            str(in_dir)
+        )
+        stream = (
+            spark.readStream.schema(schemas.PAGES)
+            .parquet(str(in_dir))
+            .withWatermark("warc_ts", "1 hour")
+            .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["w"]["start"].hour: r["n_pages"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # run 1: on-time rows at 10:00 and 13:00; append mode emits nothing
+    # yet, but the checkpoint advances the watermark to 12:00
+    run_batch([mk(1, 10), mk(2, 13)])
+    # run 2 (same checkpoint): a LATE 10:30 row (90 min behind the 12:00
+    # watermark) plus an on-time 14:00 row. The hour-10 window closes and
+    # emits - with count 1: the late row was dropped, not merged.
+    got = run_batch([mk(3, 10, 30), mk(4, 14)])
+    assert got.get(10) == 1
