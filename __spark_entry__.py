@@ -57,6 +57,26 @@ _PAGES_SQL = f"read_parquet('{FIXTURE_DIR}/pages_sf0.01.parquet')"
 _PAGE_RELS_SQL = f"read_parquet('{FIXTURE_DIR}/page_relations_sf0.01.parquet')"
 
 
+def _pages_pinned(spark: SparkSession) -> DataFrame:
+    """sf-PINNED input for the golden-pin queries (kg_triples,
+    model_inputs, kg_gold_parity): their oracles read fixtures frozen at
+    sf0.01 (tools/freeze_fixtures.py), so the Spark side must read the
+    same committed sf0.01 pages regardless of the driver's sf_dir -
+    otherwise any other scale factor would compare live output against
+    the sf0.01 fixture (round-2 advice). These queries are golden-pin
+    REGRESSION checks (pinned fresh against the live pipeline by
+    tests/test_tensorize.py), not independent cross-engine derivations;
+    the independent derivations are kg_gold_parity's gold-recoverability
+    SQL and the plain-Python oracle test."""
+    return spark.read.parquet(os.path.join(FIXTURE_DIR, "pages_sf0.01.parquet"))
+
+
+def _page_rels_pinned(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "page_relations_sf0.01.parquet")
+    )
+
+
 # ===========================================================================
 # flagship
 # ===========================================================================
@@ -467,9 +487,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             prepare_model_inputs,
         )
 
-        pages = _pages(spark, sf).where(F.col("lang") == "pl")
+        # golden-pin check: input pinned to the committed sf0.01 fixture
+        # (the oracle reads pairs_sf0.01.parquet) - see _pages_pinned
+        pages = _pages_pinned(spark).where(F.col("lang") == "pl")
         sents = segment_and_tag(pages)
-        pairs = generate_pairs(sents, _page_rels(spark, sf))
+        pairs = generate_pairs(sents, _page_rels_pinned(spark))
         mi = prepare_model_inputs(pairs, max_seq_len=80)
         return mi.select(
             "url",
@@ -550,10 +572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ner_mentions"] = q_ner_mentions
 
-    def q_kg_triples(spark, sf):  # exact vs frozen golden (pre-linking cols)
+    def q_kg_triples(spark, sf):
+        # golden-pin check vs the frozen sf0.01 triples fixture
+        # (pre-linking cols); input pinned - see _pages_pinned
         from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
 
-        stages = build_kg(spark, _pages(spark, sf), _page_rels(spark, sf))
+        stages = build_kg(spark, _pages_pinned(spark), _page_rels_pinned(spark))
         return stages["triples"].select(
             "url", "sent_idx", "subj", "pred", "obj", "subj_id", "obj_id"
         )
@@ -570,7 +594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         same-sentence containment rule, readers.py:510)."""
         from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
 
-        stages = build_kg(spark, _pages(spark, sf), _page_rels(spark, sf), link=False)
+        stages = build_kg(
+            spark, _pages_pinned(spark), _page_rels_pinned(spark), link=False
+        )
         return stages["triples"].select(
             "url",
             F.col("subj_id").alias("e1_id"),
@@ -893,9 +919,12 @@ def oracle_sql() -> dict[str, str]:
               = CAST(string_split(e2_id, '.')[2] AS INT)
     """
 
-    # Remaining rows-only (genuinely cross-engine-inexpressible):
-    # minhash_neardup/simhash_neardup (Spark-internal xxhash64 signatures),
-    # ner_mentions (gazetteer longest-match kernel), kg_triples
-    # (hash-dependent linking ids; its pre-linking form IS exact via
-    # kg_gold_parity).
+    # Every queries() entry has an oracle. Caveat on provenance:
+    # kg_triples and model_inputs are GOLDEN-PIN checks (oracle reads a
+    # fixture frozen from this pipeline at sf0.01, pinned fresh by
+    # tests/test_tensorize.py; inputs sf-pinned accordingly) - the
+    # independent derivations of the same semantics are kg_gold_parity
+    # (gold recoverability from the input annotations alone) and the
+    # plain-Python oracle test. All other oracles recompute their result
+    # from the input tables.
     return o

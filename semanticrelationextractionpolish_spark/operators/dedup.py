@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .materialize import barrier
+
 
 def _norm(text_col):
     return F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
@@ -85,12 +87,13 @@ def ngram_jaccard_pairs(
     # materialize the per-doc gram arrays BEFORE exploding: Spark's
     # Generate collapses the gram-building expression into itself and
     # re-evaluates it per exploded element (measured 12s vs 0.1s on 260k
-    # grams at sf0.1). One skinny array row per doc - at production scale
-    # this is the shingle stage-checkpoint table.
-    sized = (
+    # grams at sf0.1). One skinny array row per doc; the barrier is the
+    # shingle stage checkpoint (durable when spark.semrex.checkpointDir
+    # is set - the kill-resume path reuses it).
+    sized = barrier(
         hashed.select("doc_id", F.array_distinct(gram_keys).alias("grams"))
-        .withColumn("n_grams", F.size("grams"))
-        .localCheckpoint(eager=True)
+        .withColumn("n_grams", F.size("grams")),
+        "ngram_grams",
     )
     inv = sized.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
     # frequency cap via a window over the gram partitioning: ONE pass over
@@ -99,11 +102,9 @@ def ngram_jaccard_pairs(
     # two sides read it instead of re-exploding
     # (same localCheckpoint discipline as minhash_near_dup_pairs)
     gdf = F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    inv = (
-        inv.withColumn("gdf", gdf)
-        .where(F.col("gdf") <= max_ngram_df)
-        .drop("gdf")
-        .localCheckpoint(eager=True)
+    inv = barrier(
+        inv.withColumn("gdf", gdf).where(F.col("gdf") <= max_ngram_df).drop("gdf"),
+        "ngram_inv_capped",
     )
     a = inv.select(
         F.col("gram"),
@@ -234,28 +235,40 @@ def minhash_near_dup_pairs(
     # materialize the signatures BEFORE the band posexplode: Generate
     # inlines and re-evaluates its expression per exploded element, so
     # without this barrier the 16 array_min signature scans run once per
-    # band (8x) instead of once per doc
-    with_sigs = grams.withColumn("sigs", sigs).localCheckpoint(eager=True)
-    banded = (
+    # band (8x) instead of once per doc. This is also the shingle table
+    # the verification joins back to.
+    with_sigs = barrier(grams.withColumn("sigs", sigs), "minhash_sigs")
+    # SKINNY band rows (round-2 verdict): (lemma, band_idx, band_hash)
+    # only - the shingle array no longer rides the 8-way explode, the
+    # bucket-cap join, or either side of the candidate self-join (~8x of
+    # array payload off the biggest shuffles). Candidates fetch shingles
+    # once per surviving pair side via the join-back below; same result
+    # set by construction.
+    banded = barrier(
         with_sigs.select(
-            "lemma", "shingles", F.posexplode(bands).alias("band_idx", "band_hash")
-        )
-        .localCheckpoint(eager=True)
+            "lemma", F.posexplode(bands).alias("band_idx", "band_hash")
+        ),
+        "minhash_bands",
     )
     sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("bsz")
     )
     banded = banded.join(sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_idx", "band_hash"])
-    left = banded.select(
-        "band_idx", "band_hash", F.col("lemma").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    right = banded.select(
-        "band_idx", "band_hash", F.col("lemma").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    left = banded.select("band_idx", "band_hash", F.col("lemma").alias("doc_a"))
+    right = banded.select("band_idx", "band_hash", F.col("lemma").alias("doc_b"))
     cand = (
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("doc_a").cast("long") < F.col("doc_b").cast("long"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = with_sigs.select("lemma", "shingles")
+    cand = cand.join(
+        sh.select(F.col("lemma").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("lemma").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -14,15 +14,35 @@ Scale design:
   band-bucket equi-join (J7 in SURVEY.md); band buckets are capped
   (``MAX_BUCKET``) so a degenerate hot bucket cannot blow up the join -
   the same skew-guard philosophy as the reference's pair caps.
-* Connected components is the hash-partitioned iterative min-label
-  propagation loop (J8); every iteration is join + partial-agg groupBy on
-  the same key, with ``localCheckpoint`` to cut lineage (SURVEY.md §4.2).
+* Band rows are SKINNY - ``(key, band_idx, band_hash)`` only. The
+  round-2 plan carried each doc's full shingle array through the 8-way
+  band explode, the bucket-cap join, and both sides of the candidate
+  self-join (~8x of array payload in the pipeline's biggest shuffles at
+  scale); candidates now join back to the one-row-per-key shingle table
+  for Jaccard verification - same result set by construction, since
+  verification inputs are per-key, not per-band.
+* Connected components is alternating large-star/small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SOCC'14): O(log n) rounds regardless of component diameter. The
+  round-2 min-label propagation needed O(diameter) rounds, so a
+  transitive near-dup chain longer than ``max_iter`` hops exited the
+  loop with silently-split components; non-convergence now fails loudly.
+* Lineage barriers go through ``materialize.barrier``: localCheckpoint
+  by default, durable _SUCCESS-gated parquet stage checkpoints when
+  ``spark.semrex.checkpointDir`` is set (executor-loss-survivable /
+  kill-resumable - the production mode).
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .materialize import barrier
+
+log = logging.getLogger(__name__)
 
 N_HASHES = 16
 N_BANDS = 8  # 2 rows per band: P(collide) ~= 1-(1-s^2)^8, >0.94 at s=0.55
@@ -40,9 +60,13 @@ def _shingles(col):
     )
 
 
-def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
-    """df + shingles + one row per (band_idx, band_hash)."""
-    with_sh = df.withColumn("shingles", _shingles(F.col(key)))
+def shingle_table(df: DataFrame, key: str = "lemma") -> DataFrame:
+    """One row per key: (key, shingles, sigs) - the MinHash signature
+    table. Materialized (barrier) because it feeds both the band explode
+    and the verification join-back, and because Generate would otherwise
+    re-evaluate the 16 array_min signature scans per exploded band (8x).
+    """
+    with_sh = df.select(key).distinct().withColumn("shingles", _shingles(F.col(key)))
     # one nested-HOF expression for all N_HASHES signatures (instead of N
     # separate aggregate columns): an order of magnitude less codegen for
     # the driver to compile, same result. NB: HOF lambdas must be
@@ -53,6 +77,20 @@ def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
             F.transform(F.col("shingles"), lambda s: F.hash(s, i))
         ),
     )
+    return barrier(with_sh.withColumn("sigs", sigs), f"lsh_sigs_{key}")
+
+
+def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
+    """Skinny band rows: one (key, band_idx, band_hash) per band.
+
+    Shingles/signatures stay in ``shingle_table`` - join back on ``key``
+    when verification needs them (round-2 verdict: carrying the shingle
+    array through the band explode multiplied the biggest shuffle's
+    payload ~8x)."""
+    return _band_rows(shingle_table(df, key), key)
+
+
+def _band_rows(sig_table: DataFrame, key: str) -> DataFrame:
     rows_per_band = N_HASHES // N_BANDS
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -60,14 +98,8 @@ def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
             b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
         ),
     )
-    # materialize signatures before the band posexplode: Generate
-    # re-evaluates its expression per exploded element, so without the
-    # barrier the 16 array_min scans run once per band (8x) per row
-    with_sig = with_sh.withColumn("sigs", sigs).localCheckpoint(eager=True)
-    return with_sig.select(
-        key,
-        "shingles",
-        F.posexplode(bands).alias("band_idx", "band_hash"),
+    return sig_table.select(
+        key, F.posexplode(bands).alias("band_idx", "band_hash")
     )
 
 
@@ -75,11 +107,12 @@ def lsh_candidate_pairs(
     entities: DataFrame, key: str = "lemma", jaccard: float = DEFAULT_JACCARD
 ) -> DataFrame:
     """Blocked similarity self-join -> verified pairs (a, b, jaccard)."""
-    banded = add_minhash_bands(entities.select(key).distinct(), key)
-    # materialize the signature computation ONCE: both sides of the band
-    # self-join (and the bucket-size guard) reuse it; without this the
-    # whole MinHash chain is recomputed 3x inside a single action
-    banded = banded.localCheckpoint(eager=True)
+    sig_table = shingle_table(entities, key)
+    # materialize the band rows ONCE: both sides of the band self-join
+    # and the bucket-size guard reuse them; without this the band hashing
+    # is recomputed 3x inside a single action. The rows are skinny
+    # (key + two ints), so this barrier is cheap at any scale.
+    banded = barrier(_band_rows(sig_table, key), f"lsh_bands_{key}")
     # skew guard: drop degenerate buckets (cheap windowless approach: count
     # per bucket, filter) - a bucket with B members yields B^2/2 pairs.
     bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
@@ -88,24 +121,20 @@ def lsh_candidate_pairs(
     banded = banded.join(
         bucket_sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_idx", "band_hash"]
     )
-    left = banded.select(
-        "band_idx",
-        "band_hash",
-        F.col(key).alias("a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    right = banded.select(
-        "band_idx",
-        "band_hash",
-        F.col(key).alias("b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    left = banded.select("band_idx", "band_hash", F.col(key).alias("a"))
+    right = banded.select("band_idx", "band_hash", F.col(key).alias("b"))
     cand = (
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    # verification join-back: shingles fetched once per surviving
+    # candidate side, not once per band row
+    sh = sig_table.select(key, "shingles")
+    cand = cand.join(
+        sh.select(F.col(key).alias("a"), F.col("shingles").alias("sh_a")), "a"
+    ).join(sh.select(F.col(key).alias("b"), F.col("shingles").alias("sh_b")), "b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union, F.lit(1))
@@ -121,13 +150,28 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
+    ckpt_scope: str = "cc",
 ) -> DataFrame:
-    """Iterative min-label propagation -> (id, component).
+    """Alternating large-star/small-star contraction -> (id, comp).
 
-    ``edges`` may reference string or long ids; components are the
-    minimum id reachable. Each round: neighbor-min join + groupBy on id
-    (co-partitioned), localCheckpoint to cut lineage; stops when no label
-    changed (driver-side count - one scalar per round).
+    ``edges`` may reference string or long ids; components are labeled
+    with the minimum reachable id. Each round is two join+groupBy steps
+    on the edge set (Kiveris et al., SOCC'14):
+
+    * large-star: every node points its LARGER neighbors at the minimum
+      of its closed neighborhood;
+    * small-star: every node and its SMALLER neighbors point at that
+      minimum (edges kept big->small throughout).
+
+    Both steps strictly shrink a monotone potential, and the fixed point
+    is a disjoint union of stars centered on each component's minimum -
+    reached in O(log n) rounds regardless of diameter (the round-2
+    min-label loop was O(diameter) and could exhaust ``max_iter``
+    silently, splitting long near-dup chains into several canonical
+    nodes). If the loop still exits unconverged, behavior follows
+    ``on_nonconverged``: ``"raise"`` (default) or ``"warn"`` (log and
+    return the best-effort labels).
 
     Partitioning is sized to the GRAPH, not to the session default: the
     similarity graph is orders of magnitude smaller than the corpus, and
@@ -135,49 +179,89 @@ def connected_components(
     pure task-launch overhead (measured 5x slowdown at local[32] with 64
     partitions on a 30k-edge graph). ~100k edges per partition keeps
     every iteration's tasks usefully sized at any scale.
+
+    Lineage: one ``barrier`` per round (localCheckpoint, or durable
+    parquet under ``spark.semrex.checkpointDir``/``ckpt_scope``).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    # one materialization of the (possibly expensive) upstream plan; the
-    # count for partition sizing then reads the checkpointed data
-    sym = sym.localCheckpoint(eager=True)
-    n_edges = sym.count()
-    n_part = max(2, min(int(n_edges / 100_000) + 1, 2048))
-    sym = sym.repartition(n_part, "v").localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .repartition(n_part, "id")
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # node universe up front: self-loops / isolated endpoints must still
+    # receive a label even though star contraction drops u==v edges
+    nodes = barrier(
+        raw.select(F.col("s").alias("id"))
+        .union(raw.select(F.col("d").alias("id")))
+        .distinct(),
+        f"{ckpt_scope}_nodes",
     )
+    e = (
+        raw.where(F.col("s") != F.col("d"))
+        .select(F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v"))
+        .distinct()
+    )
+    e = barrier(e, f"{ckpt_scope}_edges")
+    n_edges = e.count()
+    n_part = max(2, min(int(n_edges / 100_000) + 1, 2048))
+    e = barrier(e.repartition(n_part, "u"), f"{ckpt_scope}_edges_p")
+
+    def _stats(df):
+        # one job: (count, order-independent content hash) - the fixed
+        # point detector. bit_xor (not sum: ANSI long-sum overflows) over
+        # a distinct edge set; a collision masking a real change is
+        # ~2^-64 per round.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        return (r["n"], r["h"])
+
+    prev_stats = _stats(e)
+    converged = n_edges == 0
+    rounds = 0
     for it in range(max_iter):
-        msgs = sym.join(
-            labels.withColumnRenamed("id", "v"), "v"
-        ).select(F.col("u").alias("id"), "comp")
-        new_labels = (
-            labels.select("id", "comp")
-            .union(msgs)
-            .repartition(n_part, "id")  # groupBy reuses this partitioning
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+        if converged:
+            break
+        # --- large-star ---
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        prev = labels
-        labels = new_labels
-        # convergence check costs a driver-synced job; checking every
-        # second round halves that cost (components converge in
-        # O(diameter) rounds, one extra cheap round is free)
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = (
-                new_labels.alias("n")
-                .join(prev.alias("o"), "id")
-                .where(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            if changed == 0:
-                break
-    return labels
+        # --- small-star --- (edges oriented big->small by construction)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(n_part, "u")
+        )
+        e = barrier(small, f"{ckpt_scope}_round_{it}")
+        rounds = it + 1
+        stats = _stats(e)
+        if stats == prev_stats:
+            converged = True
+        prev_stats = stats
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_edges} input edges); component labels may be split"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        log.warning(msg)
+    log.info("connected_components: %d rounds to fixed point", rounds)
+    # fixed point = disjoint stars (u -> component-min); roots and
+    # isolated/self-loop-only nodes label themselves
+    stars = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    return (
+        nodes.join(stars, "id", "left")
+        .groupBy("id")
+        .agg(F.min(F.coalesce("comp", "id")).alias("comp"))
+    )
 
 
 def canonicalize(mentions: DataFrame, jaccard: float = DEFAULT_JACCARD):
@@ -197,7 +281,7 @@ def canonicalize(mentions: DataFrame, jaccard: float = DEFAULT_JACCARD):
         F.collect_set("surface").alias("surfaces"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds LSH + assignment join
     sim = lsh_candidate_pairs(lemmas, "lemma", jaccard)
-    comp = connected_components(sim, "a", "b")  # only lemmas with neighbors
+    comp = connected_components(sim, "a", "b", ckpt_scope="linking_cc")
     assignments = (
         lemmas.join(comp.withColumnRenamed("id", "lemma"), "lemma", "left")
         .withColumn("comp", F.coalesce("comp", "lemma"))

@@ -35,6 +35,33 @@ def checkpoint_parquet(
     return spark.read.parquet(path)
 
 
+BARRIER_CONF = "spark.semrex.checkpointDir"
+
+
+def barrier(df: DataFrame, name: str) -> DataFrame:
+    """Lineage barrier for iterative / multi-consumer hot paths.
+
+    Default: ``localCheckpoint(eager=True)`` - fastest, but NOT
+    fault-tolerant (an executor loss after lineage truncation fails the
+    job instead of recomputing). When the session sets
+    ``spark.semrex.checkpointDir``, the barrier becomes a durable
+    ``checkpoint_parquet`` stage write under ``<dir>/<name>`` instead:
+    resumable after a crash (the _SUCCESS-gated write-if-missing
+    discipline), survivable under executor loss - the production mode
+    the round-2 verdict asked for.
+
+    ``name`` must be unique per logical stage within a job run AND
+    stable across re-runs (that is what makes kill-resume reuse the
+    right checkpoint); use a fresh checkpoint dir per job, as with
+    ``SparkContext.setCheckpointDir``.
+    """
+    spark = df.sparkSession
+    ckpt_dir = spark.conf.get(BARRIER_CONF, None)
+    if ckpt_dir:
+        return checkpoint_parquet(df, os.path.join(ckpt_dir, name), resume=True)
+    return df.localCheckpoint(eager=True)
+
+
 def salted_repartition(
     df: DataFrame,
     key: str,
@@ -49,9 +76,20 @@ def salted_repartition(
     the same row, so shuffle outputs are stable under speculative
     execution / stage retry (seeded-determinism discipline, SURVEY §4.5).
     ``secondary`` defaults to every other column, giving distinct rows of
-    a hot key distinct salts."""
+    a hot key distinct salts.
+
+    Degenerate case (round-2 advice): a key-only DataFrame - or a hot key
+    whose rows are byte-identical - has no content to derive distinct
+    salts from, so the guard would silently no-op. When there are no
+    secondary columns we mix in ``spark_partition_id()``: upstream input
+    partition ids are stable under task retry (same split -> same id), so
+    the shuffle stays deterministic, while a hot key spread over many
+    input partitions now fans across salt buckets. Byte-identical
+    duplicates *within one input partition* still share a salt - they are
+    genuinely indistinguishable under the content-derived contract."""
     other = [c for c in df.columns if c != key] if secondary is None else [secondary]
-    salt = F.pmod(F.xxhash64(F.col(key), *[F.col(c) for c in other]), F.lit(salt_buckets))
+    entropy = [F.col(c) for c in other] if other else [F.spark_partition_id()]
+    salt = F.pmod(F.xxhash64(F.col(key), *entropy), F.lit(salt_buckets))
     return df.repartition(n_partitions, F.col(key), salt)
 
 

@@ -130,16 +130,28 @@ def lsh_bucket(vec_col, dim: int = DEFAULT_DIM, n_planes: int = N_PLANES):
     return key
 
 
+def _fold_dot_sql(vec_expr: str, lits: str, dim: int) -> str:
+    """<v, plane> as a strict left-to-right DOUBLE fold over per-element
+    products - the exact evaluation order of ``_plane_dot``'s
+    ``F.aggregate``. DuckDB's ``list_dot_product`` happens to sum in
+    array order too, but that is an undocumented implementation detail
+    that could change between versions (round-2 advice); the explicit
+    fold makes the cross-engine bit-parity hold by construction."""
+    return (
+        f"list_reduce([0.0::DOUBLE] || list_transform(range(1, {dim + 1}), "
+        f"i -> ({vec_expr}::DOUBLE[])[i] * ({lits})[i]), (a, b) -> a + b)"
+    )
+
+
 def lsh_bucket_sql(
     vec_expr: str, dim: int = DEFAULT_DIM, n_planes: int = N_PLANES
 ) -> str:
     """The DuckDB-equivalent bucket expression over the same hyperplane
-    literals (list_dot_product on DOUBLE[] sums in array order, matching
-    ``_plane_dot``)."""
+    literals, summed in the same order as the Spark fold."""
     terms = []
     for i, plane in enumerate(hyperplanes(dim, n_planes)):
         lits = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
-        sign = f"CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {lits}) >= 0 THEN 1 ELSE 0 END"
+        sign = f"CASE WHEN {_fold_dot_sql(vec_expr, lits, dim)} >= 0 THEN 1 ELSE 0 END"
         terms.append(f"({sign} * {1 << (n_planes - 1 - i)})")
     return "(" + " + ".join(terms) + ")"
 

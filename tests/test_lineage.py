@@ -107,3 +107,45 @@ def test_midpipeline_kill_resume(spark, tmp_path):
     assert os.path.getmtime(sent_success) == sent_mtime
     assert os.path.exists(os.path.join(ck, "pairs", "_SUCCESS"))
     assert os.path.exists(os.path.join(ck, "triples", "_SUCCESS"))
+
+
+def test_barrier_durable_checkpoint_kill_resume(spark, tmp_path):
+    """spark.semrex.checkpointDir routes the hot-path lineage barriers
+    (dedup/linking localCheckpoints) through durable _SUCCESS-gated
+    parquet stage checkpoints: a re-run after a mid-job kill reuses the
+    completed shingle/signature checkpoint untouched and recomputes only
+    the lost stage (round-2 verdict item #3)."""
+    import shutil
+
+    from semanticrelationextractionpolish_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"wspólny tekst bazowy numer {i % 5} z kilkoma słowami") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ck = str(tmp_path / "barriers")
+    spark.conf.set("spark.semrex.checkpointDir", ck)
+    try:
+        pairs1 = sorted(map(tuple, DD.minhash_near_dup_pairs(docs).collect()))
+        sigs_success = os.path.join(ck, "minhash_sigs", "_SUCCESS")
+        assert os.path.exists(sigs_success)
+        assert os.path.exists(os.path.join(ck, "minhash_bands", "_SUCCESS"))
+        mtime = os.path.getmtime(sigs_success)
+        # simulate the kill: signature stage completed, band stage lost
+        shutil.rmtree(os.path.join(ck, "minhash_bands"))
+        pairs2 = sorted(map(tuple, DD.minhash_near_dup_pairs(docs).collect()))
+        assert pairs1 == pairs2
+        assert os.path.getmtime(sigs_success) == mtime  # reused, not rewritten
+        assert os.path.exists(os.path.join(ck, "minhash_bands", "_SUCCESS"))
+    finally:
+        spark.conf.unset("spark.semrex.checkpointDir")
+
+
+def test_barrier_default_is_local_checkpoint(spark, tmp_path):
+    """Without the conf, barrier() must not write anything to disk."""
+    from semanticrelationextractionpolish_spark.operators.materialize import barrier
+
+    df = spark.range(10)
+    out = barrier(df.withColumn("x", F.col("id") * 2), str(tmp_path / "never"))
+    assert out.count() == 10
+    assert not os.path.exists(str(tmp_path / "never"))

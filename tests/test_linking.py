@@ -77,3 +77,62 @@ def test_node_ids_stable(spark):
     _, n1 = canonicalize(mentions)
     _, n2 = canonicalize(mentions)
     assert n1.first()["node_id"] == n2.first()["node_id"]
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter >> max_iter: plain min-label propagation (round-2 impl)
+    moves a label one hop per round, so a 120-node chain silently split
+    at max_iter=25; large-star/small-star contracts in O(log n) rounds."""
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """Exhausting max_iter with the edge set still moving must raise
+    (default) or warn-and-return, never silently return split labels."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    labels = connected_components(edges, max_iter=1, on_nonconverged="warn")
+    assert labels.count() == 40  # best-effort labels for every node
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-graph equivalence against a plain-Python union-find."""
+    import random
+
+    rnd = random.Random(7)
+    n = 300
+    raw = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(260)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    seen = {x for e in raw for x in e}
+    roots = {}
+    expected = {}
+    for x in sorted(seen):  # min id per component
+        r = find(x)
+        roots.setdefault(r, x)
+        expected[x] = roots[r]
+
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == expected
