@@ -283,3 +283,49 @@ def test_readers_shard_boundary_repair(spark, tmp_path):
     bc = sorted((tuple(r["tokens"]), tuple(r["labels"])) for r in big_c.collect())
     tc = sorted((tuple(r["tokens"]), tuple(r["labels"])) for r in tiny_c.collect())
     assert bc == tc and len(bc) == 30
+
+
+def test_lines_source_split_invariance(spark, tmp_path):
+    """The single-job byte-range reader must emit every line exactly once
+    with its true byte offset, for ANY split size (TextInputFormat
+    boundary semantics: skip-first-after-seek + read-one-past-end), and
+    must expand globs/dirs without a data pass."""
+    from semanticrelationextractionpolish_spark.sources.lines import (
+        lines_with_offsets,
+        list_files,
+    )
+
+    # two files, lines of varying length, last line unterminated
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_bytes(b"alpha\nbe\n\nceee dee\nunterminated")
+    b.write_bytes(b"x\r\ny\n")
+
+    def expected(p):
+        rows = []
+        off = 0
+        data = p.read_bytes()
+        for line in data.split(b"\n")[:-1] if data.endswith(b"\n") else data.split(b"\n"):
+            raw = line
+            rows.append((str(p), off, raw.rstrip(b"\r").decode()))
+            off += len(line) + 1
+        return rows
+
+    want = sorted(expected(a) + expected(b))
+    got_big = sorted(
+        map(tuple, lines_with_offsets(spark, str(tmp_path / "*.txt")).collect())
+    )
+    assert got_big == want
+    # pathological split width: every record straddles a boundary
+    for sb in (1, 3, 7):
+        got = sorted(
+            map(
+                tuple,
+                lines_with_offsets(
+                    spark, str(tmp_path / "*.txt"), split_bytes=sb
+                ).collect(),
+            )
+        )
+        assert got == want, f"split_bytes={sb}"
+    # directory expansion, no glob
+    assert list_files(spark, str(tmp_path)) == [str(a), str(b)]
