@@ -67,16 +67,26 @@ def _split_word(word: str, word_initial: bool) -> list[str]:
 class DeterministicTokenizer:
     """Drop-in for the reference tokenizer's bpemb/scheme_1 configuration."""
 
-    def __init__(self, lowercase: bool = True):
+    def __init__(self, lowercase: bool = True, positional_scheme: str = "scheme_1"):
         self.lowercase = lowercase
         self.special_token_ids = dict(SPECIAL_TOKEN_IDS)
-        # readers.py:41 ees_map for scheme_1
-        self.ees_map = {
-            "e1_beg": "<e1>",
-            "e1_end": "</e1>",
-            "e2_beg": "<e2>",
-            "e2_end": "</e2>",
-        }
+        # scheme_2 markers '$'/'#' (readers.py:57-60): the reference maps
+        # them to the BERT vocab's ORDINARY '$'/'#' token ids - mirrored
+        # here as the same stable content-hash ids plain tokenization
+        # would assign, so both schemes are always resolvable
+        self.special_token_ids["$"] = _stable_id("$")
+        self.special_token_ids["#"] = _stable_id("#")
+        if positional_scheme == "scheme_2":
+            # readers.py:58 ees_map for scheme_2
+            self.ees_map = {"e1_beg": "$", "e1_end": "$", "e2_beg": "#", "e2_end": "#"}
+        else:
+            # readers.py:41 ees_map for scheme_1
+            self.ees_map = {
+                "e1_beg": "<e1>",
+                "e1_end": "</e1>",
+                "e2_beg": "<e2>",
+                "e2_end": "</e2>",
+            }
 
     def _pieces(self, text: str) -> list[str]:
         text = unicodedata.normalize("NFC", text)
