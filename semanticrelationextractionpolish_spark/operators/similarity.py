@@ -219,6 +219,66 @@ def ann_topk_oracle_sql(
     """
 
 
+def planted_embeddings(
+    spark,
+    n_base: int = 2000,
+    n_queries: int = 100,
+    n_neighbors: int = 5,
+    dim: int = DEFAULT_DIM,
+    seed: int = 7,
+    noise: float = 0.15,
+) -> DataFrame:
+    """Deterministic planted near-neighbor fixture for recall
+    measurement: ``n_base`` gaussian vectors; each of the first
+    ``n_queries`` gets ``n_neighbors`` noisy copies (ids ``n_base +
+    qi*n_neighbors + j``), whose cosine to the query is ~1/sqrt(1+noise^2).
+    Driver-side numpy - test/bench fixture scale, not a production path."""
+    import numpy as np
+
+    rnd = np.random.RandomState(seed)
+    base = rnd.normal(size=(n_base, dim))
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    for qi in range(n_queries):
+        for j in range(n_neighbors):
+            v = base[qi] + noise * rnd.normal(size=dim)
+            rows.append((n_base + qi * n_neighbors + j, v.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def ann_recall_sweep(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    plane_counts: tuple[int, ...] = (4, 6, 8, 10, 12),
+    dim: int = DEFAULT_DIM,
+) -> list[dict]:
+    """Mean recall@k and candidate fraction per hyperplane count - the
+    measured bucket-count knob (round-2 verdict item #8): more planes =
+    2x fewer candidates per doubling but lower recall. Returns one dict
+    per n_planes for the BENCH table."""
+    total = embeddings.count()
+    out = []
+    for np_ in plane_counts:
+        rec = ann_recall(embeddings, query_ids, k, np_, dim)
+        mean_recall = rec.agg(F.avg("recall")).first()[0]
+        # candidate fraction: expected bucket-mate share of the corpus
+        base = embeddings.select(
+            lsh_bucket(_as_double(F.col("embedding")), dim, np_).alias("b")
+        )
+        sizes = base.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+        # E[bucket size seen by a random vector] = sum(n^2)/total
+        exp_bucket = sizes.agg(F.sum(F.col("n") * F.col("n"))).first()[0] / total
+        out.append(
+            {
+                "n_planes": np_,
+                "mean_recall": round(float(mean_recall), 4),
+                "avg_candidates": round(exp_bucket, 1),
+                "candidate_frac": round(exp_bucket / total, 4),
+            }
+        )
+    return out
+
+
 def ann_recall(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -154,3 +154,29 @@ def test_quality_monotone(spark):
     )
     q = {r["doc_id"]: r["quality"] for r in TS.quality_score(df).collect()}
     assert q[1] > q[2]  # repetitive junk scores lower (type-token ratio)
+
+
+def test_ann_recall_floor_on_planted_fixture(spark):
+    """The bucket-count knob, measured (round-2 verdict #8): on the
+    planted near-neighbor fixture the default 8-plane config must keep
+    mean recall@5 above the floor, and coarser buckets must not recall
+    worse than finer ones (the tradeoff direction is the contract)."""
+    from semanticrelationextractionpolish_spark.operators.similarity import (
+        ann_recall_sweep,
+        planted_embeddings,
+    )
+
+    emb = planted_embeddings(
+        spark, n_base=600, n_queries=40, n_neighbors=5
+    ).localCheckpoint(eager=True)
+    rows = {
+        r["n_planes"]: r
+        for r in ann_recall_sweep(
+            emb, query_ids=list(range(40)), k=5, plane_counts=(4, 8, 12)
+        )
+    }
+    # measured 0.84/0.71/0.59 at the bench fixture; floor with margin
+    assert rows[8]["mean_recall"] >= 0.55
+    assert rows[4]["mean_recall"] >= rows[12]["mean_recall"]
+    # finer buckets really do shrink the candidate set
+    assert rows[12]["avg_candidates"] < rows[4]["avg_candidates"]
