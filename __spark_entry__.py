@@ -361,6 +361,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["set_ops"] = q_set_ops
 
+    def q_connected_components(spark, sf):  # J8, exact cross-engine
+        """Star-contraction connected components on a deterministic
+        arithmetic graph over events: size-8 stars (event_id -> its
+        8-block base) chained pairwise (x -> x+8 for x % 16 == 0). The
+        DuckDB oracle recomputes min-reachable labels via a recursive
+        reachability CTE - upgrading J8 from pipeline-implied to a
+        direct exact check of s/operators/linking.py:connected_components."""
+        from semanticrelationextractionpolish_spark.operators.linking import (
+            connected_components,
+        )
+
+        ev = _t(spark, sf, "events").select("event_id")
+        stars = ev.select(
+            F.col("event_id").alias("src"),
+            (F.col("event_id") - F.pmod("event_id", F.lit(8))).alias("dst"),
+        )
+        chains = ev.where(F.pmod("event_id", F.lit(16)) == 0).select(
+            F.col("event_id").alias("src"),
+            (F.col("event_id") + 8).alias("dst"),
+        )
+        comp = connected_components(stars.union(chains))
+        return comp.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("comp").cast("long").alias("comp"),
+        )
+
+    q["connected_components"] = q_connected_components
+
     # --- text analytics ----------------------------------------------------
 
     from semanticrelationextractionpolish_spark.operators import textstats as TS
@@ -767,6 +795,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_custkey FROM orders
           )
         ) GROUP BY grp
+    """
+
+    # J8 direct check: min-reachable component labels via recursive
+    # reachability closure (bounded: components are <= ~24 nodes by
+    # construction, so the closure is sum(|C|^2) ~ 25x the node count)
+    o["connected_components"] = """
+        WITH RECURSIVE base AS (
+          SELECT DISTINCT event_id AS u, event_id - (event_id % 8) AS v
+          FROM events
+          UNION
+          SELECT event_id, event_id + 8 FROM events WHERE event_id % 16 = 0
+        ), edges AS (
+          SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base
+        ), nodes AS (
+          SELECT DISTINCT u AS id FROM edges
+        ), walk(id, reach) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+        )
+        SELECT id::BIGINT AS id, min(reach)::BIGINT AS comp
+        FROM walk GROUP BY id
     """
 
     o["subword_counts"] = """
