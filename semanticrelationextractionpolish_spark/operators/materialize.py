@@ -93,6 +93,32 @@ def salted_repartition(
     return df.repartition(n_partitions, F.col(key), salt)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> DataFrame:
+    """Bucketed (and bucket-sorted) table write: the co-located-join
+    layout. Repeated large-large joins or aggregations on ``key`` read
+    the bucketed table WITHOUT an Exchange on either side - at 100 TB
+    this is the difference between shuffling the page corpus once per
+    join (pages x relations by url, every pipeline run) and never
+    shuffling it again after ingest. Both join sides must be bucketed
+    on the join key with the same bucket count.
+
+    Parquet ``saveAsTable`` in the session catalog stands in for the
+    production Iceberg bucket-partition transform (``writeTo(...)
+    .partitionedBy(bucket(n, key))`` - the Iceberg runtime jar is absent
+    in this sandbox, same stand-in as ``write_graph``)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+    return df.sparkSession.table(table)
+
+
 def domain_of(url_col) -> F.Column:
     """parse_url-based domain extraction for salting decisions."""
     return F.parse_url(url_col, F.lit("HOST"))

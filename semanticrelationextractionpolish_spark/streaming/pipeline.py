@@ -80,3 +80,36 @@ def stream_triples(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def join_pages_with_annotations(
+    pages_stream: DataFrame,
+    ann_stream: DataFrame,
+    max_delay: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: the page stream against a late-arriving
+    annotation stream (url, e1_id, e2_id, rel_class, ann_ts), matched on
+    url where the annotation lands within ``max_delay`` of the page's
+    event time.
+
+    Both sides carry event-time watermarks AND the join predicate bounds
+    ann_ts to a range of warc_ts - that pair is what lets Spark EVICT
+    join state (watermark + range condition); an equi-join alone would
+    buffer both streams forever, which at web scale is an
+    out-of-memory-by-design plan."""
+    p = pages_stream.withWatermark("warc_ts", watermark).alias("p")
+    a = ann_stream.withWatermark("ann_ts", watermark).alias("a")
+    cond = (
+        (F.col("p.url") == F.col("a.url"))
+        & (F.col("a.ann_ts") >= F.col("p.warc_ts"))
+        & (F.col("a.ann_ts") <= F.col("p.warc_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return p.join(a, cond).select(
+        F.col("p.url").alias("url"),
+        F.col("p.warc_ts").alias("warc_ts"),
+        F.col("a.ann_ts").alias("ann_ts"),
+        F.col("a.e1_id").alias("e1_id"),
+        F.col("a.e2_id").alias("e2_id"),
+        F.col("a.rel_class").alias("rel_class"),
+    )

@@ -192,3 +192,67 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # emits - with count 1: the late row was dropped, not merged.
     got = run_batch([mk(3, 10, 30), mk(4, 14)])
     assert got.get(10) == 1
+
+
+def test_stream_stream_join_bounded_state(spark, tmp_path):
+    """Pages stream x annotation stream: inner join on url within the
+    max_delay window. In-window annotations match; an annotation landing
+    beyond max_delay never joins. The range predicate + watermarks are
+    what bound the join state (the plan must carry event-time
+    watermarks on both sides)."""
+    from pyspark.sql import types as T
+
+    from semanticrelationextractionpolish_spark import schemas
+    from semanticrelationextractionpolish_spark.streaming.pipeline import (
+        join_pages_with_annotations,
+    )
+
+    pages, rels = synth_pages(spark, 20)
+    in_pages = str(tmp_path / "p_in")
+    in_anns = str(tmp_path / "a_in")
+    pages.coalesce(2).write.parquet(in_pages)
+    # annotations: rel rows stamped in-window (+30min) for even rows,
+    # out-of-window (+3h vs max_delay 2h) for odd rows
+    anns = rels.join(pages.select("url", "warc_ts"), "url").select(
+        "url",
+        "e1_id",
+        "e2_id",
+        "rel_class",
+        F.when(
+            F.xxhash64("e1_id") % 2 == 0,
+            F.col("warc_ts") + F.expr("INTERVAL 30 minutes"),
+        )
+        .otherwise(F.col("warc_ts") + F.expr("INTERVAL 3 hours"))
+        .alias("ann_ts"),
+    )
+    anns.coalesce(2).write.parquet(in_anns)
+    n_expected = (
+        anns.join(pages.select("url", "warc_ts"), "url")
+        .where(F.col("ann_ts") <= F.col("warc_ts") + F.expr("INTERVAL 2 hours"))
+        .count()
+    )
+    ann_schema = T.StructType(
+        schemas.PAGE_RELATIONS.fields
+        + [T.StructField("ann_ts", T.TimestampType(), True)]
+    )
+    ps = read_page_stream(spark, in_pages)
+    asx = spark.readStream.schema(ann_schema).parquet(in_anns)
+    joined = join_pages_with_annotations(ps, asx, max_delay="2 hours")
+    out = str(tmp_path / "join_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "join_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == n_expected > 0
+    # every joined row is within the delay window
+    assert (
+        got.where(
+            F.col("ann_ts") > F.col("warc_ts") + F.expr("INTERVAL 2 hours")
+        ).count()
+        == 0
+    )
