@@ -256,3 +256,73 @@ def test_stream_stream_join_bounded_state(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_incremental_canonicalize_matches_batch(spark, tmp_path):
+    """Streaming incremental linking contract: after the mention stream
+    drains (3 micro-batches, per-batch LSH index probe + accumulated-edge
+    CC), the assignments table equals batch canonicalize() over all
+    mentions at once."""
+    from semanticrelationextractionpolish_spark.operators.linking import (
+        canonicalize,
+    )
+    from semanticrelationextractionpolish_spark.operators.mentions import (
+        mentions_from_sentences,
+    )
+    from semanticrelationextractionpolish_spark.operators.segment import (
+        segment_and_tag,
+    )
+    from semanticrelationextractionpolish_spark.streaming.linking import (
+        incremental_canonicalize,
+    )
+
+    pages, _ = synth_pages(spark, 40)
+    sents = segment_and_tag(pages.where(F.col("lang") == "pl"))
+    mentions = mentions_from_sentences(sents).localCheckpoint(eager=True)
+    want_assign, _ = canonicalize(mentions)
+    want = {
+        (r["lemma"], r["canonical"], r["node_id"]) for r in want_assign.collect()
+    }
+
+    in_dir = str(tmp_path / "m_in")
+    mentions.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(mentions.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = incremental_canonicalize(
+        spark, stream, str(tmp_path / "state"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+    got_df = spark.read.parquet(str(tmp_path / "state" / "assignments"))
+    got = {(r["lemma"], r["canonical"], r["node_id"]) for r in got_df.collect()}
+    assert got == want and got
+
+
+def test_incremental_merge_replay_idempotent(spark, tmp_path):
+    """foreachBatch may re-deliver a batch after a failure: re-merging
+    the same (batch_id, data) must not change counts, edges or
+    assignments."""
+    from semanticrelationextractionpolish_spark.streaming.linking import (
+        merge_mentions_batch,
+    )
+
+    m = spark.createDataFrame(
+        [
+            ("u1", 0, "e1", "city_nam", 0, 1, "Warszawa", "warszaw"),
+            ("u2", 0, "e1", "city_nam", 0, 1, "Warszawie", "warszawi"),
+        ],
+        "url string, sent_idx int, entity_id string, entity_class string, "
+        "beg int, end int, surface string, lemma string",
+    )
+    state = str(tmp_path / "state")
+    a1 = sorted(map(tuple, merge_mentions_batch(spark, m, state, batch_id=0).collect()))
+    a2 = sorted(map(tuple, merge_mentions_batch(spark, m, state, batch_id=0).collect()))
+    assert a1 == a2
+    lemmas = spark.read.parquet(str(tmp_path / "state" / "lemmas"))
+    counts = {r["lemma"]: r["n"] for r in
+              lemmas.groupBy("lemma").agg(F.sum("n_mentions").alias("n")).collect()}
+    assert counts == {"warszaw": 1, "warszawi": 1}  # replay did not double
+    # the near-dup pair merged to one canonical node
+    assert {t[2] for t in a1} == {"warszaw"} or len({t[1] for t in a1}) == 1
