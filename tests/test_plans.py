@@ -1,0 +1,62 @@
+"""Plan-quality regression tests: the physical-plan properties PLANS.md
+documents, pinned in pytest so an optimizer-hostile refactor fails CI
+instead of silently 10x-ing the 100TB run."""
+
+from pyspark.sql import functions as F
+
+from semanticrelationextractionpolish_spark.sources.synth import synth_pages
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, tmp_path):
+    """lang filter must reach the parquet scan (PushedFilters) and the
+    scan must read only the referenced columns (ReadSchema)."""
+    pages, _ = synth_pages(spark, 50)
+    p = str(tmp_path / "pages_pq")
+    pages.write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .where(F.col("lang") == "pl")
+        .select("url", "text")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,pl)]" in plan, plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "url" in read_schema and "text" in read_schema and "lang" in read_schema
+    assert "html" not in read_schema  # the fat binary column is pruned
+
+
+def test_edges_from_triples_broadcasts_the_dim(spark):
+    """The node-assignment dim join must be a BroadcastHashJoin, never a
+    shuffled SMJ (the dim is entity-scale, the triples corpus-scale)."""
+    from semanticrelationextractionpolish_spark.operators.linking import (
+        edges_from_triples,
+    )
+
+    triples = spark.createDataFrame(
+        [("u1", 0, "warszaw", "location", "orlen")],
+        "url string, sent_idx int, subj string, pred string, obj string",
+    )
+    na = spark.createDataFrame(
+        [("warszaw", 1, "warszaw"), ("orlen", 2, "orlen")],
+        "lemma string, node_id long, canonical string",
+    )
+    plan = _plan(edges_from_triples(triples, na))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_bands_are_skinny(spark):
+    """The band explode must not carry the shingle array (round-2
+    verdict #2): the Generate's output schema is (lemma|doc, band_idx,
+    band_hash) only."""
+    from semanticrelationextractionpolish_spark.operators.linking import (
+        add_minhash_bands,
+    )
+
+    df = spark.createDataFrame([("warszawa",), ("krakow",)], "lemma string")
+    banded = add_minhash_bands(df, "lemma")
+    assert set(banded.columns) == {"lemma", "band_idx", "band_hash"}
