@@ -183,36 +183,65 @@ def connected_components(
     Lineage: one ``barrier`` per round (localCheckpoint, or durable
     parquet under ``spark.semrex.checkpointDir``/``ckpt_scope``).
     """
-    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    # node universe up front: self-loops / isolated endpoints must still
-    # receive a label even though star contraction drops u==v edges
-    nodes = barrier(
+    from .materialize import BARRIER_CONF
+
+    durable = edges.sparkSession.conf.get(BARRIER_CONF, None) is not None
+
+    def _materialize(df, name, metrics):
+        """Barrier + side metrics in ONE job: an Observation's metrics
+        are delivered by the eager localCheckpoint action itself. In
+        durable mode the barrier may be a resume-read that runs no
+        action (obs.get would block forever), so metrics fall back to
+        one cheap scan of the checkpoint parquet."""
+        if durable:
+            out = barrier(df, name)
+            r = out.agg(*[c.alias(k) for k, c in metrics.items()]).first()
+            return out, {k: r[k] for k in metrics}
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        out = observed.localCheckpoint(eager=True)
+        return out, obs.get
+
+    # fixed-point detector: (count, order-independent content hash) over
+    # the distinct edge set. bit_xor (not sum: ANSI long-sum overflows);
+    # a collision masking a real change is ~2^-64 per round.
+    _STATS = lambda: {
+        "n": F.count(F.lit(1)),
+        "h": F.bit_xor(F.xxhash64("u", "v")),
+    }
+
+    # ONE materialization of the (possibly expensive) upstream plan -
+    # the node universe, the canonical edge set and the final label join
+    # all derive from this checkpoint instead of re-evaluating upstream;
+    # the same job counts non-self-loop rows (an upper bound on the
+    # distinct edge count) for partition sizing
+    raw, m = _materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")),
+        f"{ckpt_scope}_input",
+        {"n_raw": F.sum((F.col("s") != F.col("d")).cast("long"))},
+    )
+    n_raw = m["n_raw"] or 0
+    n_part = max(2, min(int(n_raw / 100_000) + 1, 2048))
+    # node universe: self-loops / isolated endpoints must still receive
+    # a label even though star contraction drops u==v edges (computed
+    # lazily from the checkpointed input - used once, after the loop)
+    nodes = (
         raw.select(F.col("s").alias("id"))
         .union(raw.select(F.col("d").alias("id")))
-        .distinct(),
-        f"{ckpt_scope}_nodes",
+        .distinct()
     )
     e = (
         raw.where(F.col("s") != F.col("d"))
         .select(F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v"))
         .distinct()
     )
-    e = barrier(e, f"{ckpt_scope}_edges")
-    n_edges = e.count()
-    n_part = max(2, min(int(n_edges / 100_000) + 1, 2048))
-    e = barrier(e.repartition(n_part, "u"), f"{ckpt_scope}_edges_p")
-
-    def _stats(df):
-        # one job: (count, order-independent content hash) - the fixed
-        # point detector. bit_xor (not sum: ANSI long-sum overflows) over
-        # a distinct edge set; a collision masking a real change is
-        # ~2^-64 per round.
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
-        ).first()
-        return (r["n"], r["h"])
-
-    prev_stats = _stats(e)
+    e, m = _materialize(
+        e.repartition(n_part, "u"), f"{ckpt_scope}_edges_p", _STATS()
+    )
+    prev_stats = (m["n"], m["h"])
+    n_edges = m["n"]
     converged = n_edges == 0
     rounds = 0
     for it in range(max_iter):
@@ -239,9 +268,9 @@ def connected_components(
             .distinct()
             .repartition(n_part, "u")
         )
-        e = barrier(small, f"{ckpt_scope}_round_{it}")
+        e, m = _materialize(small, f"{ckpt_scope}_round_{it}", _STATS())
+        stats = (m["n"], m["h"])
         rounds = it + 1
-        stats = _stats(e)
         if stats == prev_stats:
             converged = True
         prev_stats = stats
