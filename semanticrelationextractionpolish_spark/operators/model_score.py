@@ -52,7 +52,9 @@ class HashedLinearModel:
         out[ids == 0] = 0.0
         return out
 
-    def predict(self, input_ids, attention, e1_mask, e2_mask):
+    def pooled_features(self, input_ids, attention, e1_mask, e2_mask):
+        """[mean-pool(e1); mean-pool(e2); max-pool(all)] - the feature
+        map shared by inference AND the training gradient (U12)."""
         e = self._emb(input_ids)  # (B, L, D)
 
         def masked_mean(mask):
@@ -61,7 +63,7 @@ class HashedLinearModel:
             d = np.maximum(m.sum(axis=1), 1.0)  # divide_no_nan (A6)
             return s / d
 
-        pooled = np.concatenate(
+        return np.concatenate(
             [
                 masked_mean(e1_mask),
                 masked_mean(e2_mask),
@@ -69,6 +71,9 @@ class HashedLinearModel:
             ],
             axis=1,
         )
+
+    def predict(self, input_ids, attention, e1_mask, e2_mask):
+        pooled = self.pooled_features(input_ids, attention, e1_mask, e2_mask)
         logits = pooled @ self.w
         probs = np.exp(logits - logits.max(axis=1, keepdims=True))
         probs /= probs.sum(axis=1, keepdims=True)
@@ -166,3 +171,126 @@ def score_with_model(
             )
 
     return model_inputs.mapInPandas(kernel, schema=SCORED)
+
+# --------------------------------------------------------------------------
+# U12: distributed training loop (config train_params semantics)
+# --------------------------------------------------------------------------
+
+_GRAD_SCHEMA = T.StructType(
+    [
+        T.StructField("grad", T.ArrayType(T.DoubleType()), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("loss_sum", T.DoubleType(), False),
+        T.StructField("correct", T.LongType(), False),
+    ]
+)
+
+
+def train_model(
+    model_inputs: DataFrame,
+    classes: list[str],
+    num_epochs: int = 12,
+    batch_size: int = 32,
+    lr: float = 0.5,
+    seed: int = 7,
+    l2: float = 0.0,
+) -> tuple[HashedLinearModel, list[dict]]:
+    """U12: the reference's training loop (``train_params``:
+    ``num_epochs=12, batch_size=32``, config_kpwr.json:26), restated as
+    data-parallel distributed gradient descent over the SAME pooled
+    features the scorer uses (RelacjoSzukaczLSTM.py train()/BERT
+    fine-tune, minus the TF backend - softmax cross-entropy over the
+    linear head, the only trainable surface of the sandbox model).
+
+    Each epoch: broadcast the current weights; every executor computes
+    per-Arrow-batch cross-entropy gradients (``batch_size`` bounds the
+    in-kernel chunking, so executor memory is independent of partition
+    size); the driver sums the (tiny: 3*EMB_DIM x n_classes) gradients
+    and steps. One full-batch step per epoch - the reference's
+    minibatch SGD becomes its distributed-deterministic equivalent
+    (order-independent gradient sum, seeded init: same weights on every
+    run and under task retry - the O5 seeded-determinism discipline).
+    Early stopping mirrors the reference: not implemented
+    (config_kpwr.json:28 "TODO_not_supported_yet").
+
+    Returns (trained model, per-epoch history of loss/accuracy).
+    """
+    sc = model_inputs.sparkSession.sparkContext
+    classes = list(classes)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    model = HashedLinearModel(classes, seed=seed)
+    src = model_inputs.select(
+        "input_ids", "attention_mask", "e1_mask", "e2_mask", "gold_class"
+    ).localCheckpoint(eager=True)  # scan once, reuse across epochs
+
+    history: list[dict] = []
+    for epoch in range(num_epochs):
+        bc = sc.broadcast((classes, model.w))
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cls, w = bc.value
+            m = HashedLinearModel.from_weights(cls, w)
+            idx_map = {c: i for i, c in enumerate(cls)}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                g = np.zeros_like(m.w, dtype=np.float64)
+                n = 0
+                loss_sum = 0.0
+                correct = 0
+                for s in range(0, len(pdf), batch_size):
+                    chunk = pdf.iloc[s : s + batch_size]
+                    y = np.array(
+                        [idx_map.get(c, -1) for c in chunk["gold_class"]],
+                        dtype=np.int64,
+                    )
+                    keep = y >= 0
+                    if not keep.any():
+                        continue
+                    ids = np.stack(chunk["input_ids"].to_numpy())[keep]
+                    att = np.stack(chunk["attention_mask"].to_numpy())[keep]
+                    e1 = np.stack(chunk["e1_mask"].to_numpy())[keep]
+                    e2 = np.stack(chunk["e2_mask"].to_numpy())[keep]
+                    yk = y[keep]
+                    pooled = m.pooled_features(ids, att, e1, e2)
+                    logits = pooled @ m.w
+                    probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+                    probs /= probs.sum(axis=1, keepdims=True)
+                    rows = np.arange(len(yk))
+                    loss_sum += float(-np.log(probs[rows, yk] + 1e-12).sum())
+                    correct += int((probs.argmax(axis=1) == yk).sum())
+                    delta = probs
+                    delta[rows, yk] -= 1.0
+                    g += pooled.T.astype(np.float64) @ delta.astype(np.float64)
+                    n += int(len(yk))
+                if n:
+                    yield pd.DataFrame(
+                        {
+                            "grad": [g.ravel().tolist()],
+                            "n": [n],
+                            "loss_sum": [loss_sum],
+                            "correct": [correct],
+                        }
+                    )
+
+        parts = src.mapInPandas(kernel, schema=_GRAD_SCHEMA).collect()
+        bc.unpersist()
+        n_total = sum(r["n"] for r in parts)
+        if n_total == 0:
+            raise ValueError("train_model: no rows with a known gold_class")
+        grad = np.zeros_like(model.w, dtype=np.float64)
+        for r in parts:
+            grad += np.asarray(r["grad"], dtype=np.float64).reshape(model.w.shape)
+        grad /= n_total
+        if l2:
+            grad += l2 * model.w
+        model.w = (model.w - lr * grad).astype(np.float32)
+        history.append(
+            {
+                "epoch": epoch,
+                "loss": sum(r["loss_sum"] for r in parts) / n_total,
+                "accuracy": sum(r["correct"] for r in parts) / n_total,
+                "n": n_total,
+            }
+        )
+    return model, history

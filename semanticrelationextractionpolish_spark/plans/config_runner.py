@@ -288,8 +288,12 @@ def run_config(
     source_files: str | None = None,
     checkpoint_dir: str | None = None,
     score: bool = True,
+    train: bool = False,
 ) -> dict[str, DataFrame]:
-    """The declarative runner: config json -> stage DataFrames."""
+    """The declarative runner: config json -> stage dict (DataFrames,
+    plus - with ``train=True`` - the trained model and its epoch
+    history under ``model``/``train_history``, honoring
+    ``train_params.num_epochs/batch_size``)."""
     from ..operators.materialize import checkpoint_parquet
     from ..operators.tensorize import prepare_model_inputs
 
@@ -425,8 +429,8 @@ def run_config(
         float(tp.get("valid_split", 0.1)),
         float(tp.get("test_split", 0.1)),
     )
-    if score and engine is not None:
-        from ..operators.model_score import score_with_model
+    if (score or train) and engine is not None:
+        from ..operators.model_score import score_with_model, train_model
 
         classes = sorted(
             r["gold_class"]
@@ -436,6 +440,31 @@ def run_config(
             .distinct()
             .collect()
         )
-        if classes:
+        if classes and train:
+            # U12: the reference's RelacjoSzukacz*.train() entry point,
+            # driven by the config's train_params (config_kpwr.json:26);
+            # fit on the train split only (valid/test held out, the
+            # reference's valid_split/test_split semantics)
+            train_inputs = (
+                stages["model_inputs"]
+                .join(
+                    stages["splits"].select(
+                        "url", "sent_idx", "e1_id", "e2_id", "split"
+                    ),
+                    ["url", "sent_idx", "e1_id", "e2_id"],
+                    "left",
+                )
+                .where(F.coalesce(F.col("split"), F.lit("train")) == "train")
+                .drop("split")
+            )
+            model, history = train_model(
+                train_inputs,
+                classes,
+                num_epochs=int(tp.get("num_epochs", 12)),
+                batch_size=int(tp.get("batch_size", 32)),
+            )
+            stages["model"] = model
+            stages["train_history"] = history
+        if classes and score:
             stages["scored"] = score_with_model(stages["model_inputs"], classes=classes)
     return stages

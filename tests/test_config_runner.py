@@ -245,3 +245,28 @@ def test_run_config_deserialize_checkpoints(spark, corpora_dir, tmp_path):
     s2 = run_config(spark, cfg, source_files=src, checkpoint_dir=ck, score=False)
     assert sorted(map(tuple, s2["examples"].collect())) == rows1
     assert os.path.getmtime(success) == mtime  # memoized, not recomputed
+
+
+def test_run_config_training_loop(spark, corpora_dir):
+    """U12 through the declarative surface: train_params drive the
+    distributed training loop; the runner returns the trained model and
+    epoch history."""
+    cfg = {
+        "input_data": {"reader": "kbp37"},
+        "tokenizer": {"iface": "bpemb"},
+        "engine": "bilstm",
+        "max_seq_len": 45,
+        "train_params": {"num_epochs": 3, "batch_size": 8},
+    }
+    stages = run_config(
+        spark,
+        cfg,
+        source_files=os.path.join(corpora_dir, "kbp37", "train.txt"),
+        score=False,
+        train=True,
+    )
+    hist = stages["train_history"]
+    assert len(hist) == 3
+    assert hist[-1]["loss"] <= hist[0]["loss"]
+    classes = {r["gold_class"] for r in stages["examples"].collect()}
+    assert stages["model"].w.shape == (96, len(classes))

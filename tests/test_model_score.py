@@ -139,3 +139,57 @@ def test_model_artifact_roundtrip(spark, tmp_path):
     # and a second restore is identical (determinism of the restore path)
     again = {tuple(r) for r in score_with_model(inputs, model_path=path).collect()}
     assert from_artifact == again
+
+
+def test_train_model_learns_deterministically(spark, tmp_path):
+    """U12: the distributed training loop must (a) reduce loss and reach
+    high accuracy on a separable synthetic task, (b) be bit-deterministic
+    across runs (seeded init + order-independent gradient sum), and
+    (c) round-trip through the model artifact into score_with_model."""
+    import random
+
+    import numpy as np
+
+    from semanticrelationextractionpolish_spark.operators.model_score import (
+        load_model,
+        save_model,
+        score_with_model,
+        train_model,
+    )
+
+    L = 16
+    rng = random.Random(3)
+    rows = []
+    for i in range(240):
+        cls = "rel_a" if i % 2 == 0 else "rel_b"
+        ids = [101] + [rng.randrange(5, 5000) for _ in range(6)] + [0] * (L - 7)
+        ids[1] = 111 if cls == "rel_a" else 222  # separable e1 content
+        att = [1 if x != 0 else 0 for x in ids]
+        e1 = [0] * L
+        e1[1] = 1
+        e2 = [0] * L
+        e2[4] = 1
+        rows.append((f"u{i}", 0, "e1", "e2", ids, att, e1, e2, cls))
+    schema = (
+        "url string, sent_idx int, e1_id string, e2_id string, "
+        "input_ids array<int>, attention_mask array<int>, "
+        "e1_mask array<int>, e2_mask array<int>, gold_class string"
+    )
+    mi = spark.createDataFrame(rows, schema).repartition(4)
+
+    model, hist = train_model(mi, ["rel_a", "rel_b"], num_epochs=12, lr=0.5)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert hist[-1]["accuracy"] >= 0.9, hist
+    assert hist[-1]["n"] == 240
+
+    # determinism: same data + seed -> identical weights
+    model2, _ = train_model(mi, ["rel_a", "rel_b"], num_epochs=12, lr=0.5)
+    assert np.array_equal(model.w, model2.w)
+
+    # artifact round-trip feeds the broadcast scoring path
+    path = str(tmp_path / "trained")
+    save_model(model, path)
+    assert np.array_equal(load_model(path).w, model.w)
+    scored = score_with_model(mi, model_path=path)
+    acc = scored.where("model_class = gold_class").count() / 240
+    assert acc >= 0.9
