@@ -60,12 +60,17 @@ def _shingles(col):
     )
 
 
-def shingle_table(df: DataFrame, key: str = "lemma") -> DataFrame:
+def shingle_table(
+    df: DataFrame, key: str = "lemma", ckpt_name: str | None = None
+) -> DataFrame:
     """One row per key: (key, shingles, sigs) - the MinHash signature
     table. Materialized (barrier) because it feeds both the band explode
     and the verification join-back, and because Generate would otherwise
     re-evaluate the 16 array_min signature scans per exploded band (8x).
-    """
+    Callers invoking this repeatedly on DIFFERENT inputs in one job
+    (e.g. streaming incremental linking) must pass a distinct
+    ``ckpt_name`` per call, or durable-checkpoint mode would resume the
+    first call's table."""
     with_sh = df.select(key).distinct().withColumn("shingles", _shingles(F.col(key)))
     # one nested-HOF expression for all N_HASHES signatures (instead of N
     # separate aggregate columns): an order of magnitude less codegen for
@@ -77,7 +82,7 @@ def shingle_table(df: DataFrame, key: str = "lemma") -> DataFrame:
             F.transform(F.col("shingles"), lambda s: F.hash(s, i))
         ),
     )
-    return barrier(with_sh.withColumn("sigs", sigs), f"lsh_sigs_{key}")
+    return barrier(with_sh.withColumn("sigs", sigs), ckpt_name or f"lsh_sigs_{key}")
 
 
 def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:

@@ -107,7 +107,9 @@ def merge_mentions_batch(
     new_lemmas = batch_agg.select("lemma").join(
         old_sigs.select("lemma"), "lemma", "left_anti"
     )
-    new_sigs = shingle_table(new_lemmas, "lemma")
+    # distinct checkpoint name per batch: the durable-barrier mode must
+    # never resume a PREVIOUS batch's signature table for this one
+    new_sigs = shingle_table(new_lemmas, "lemma", ckpt_name=f"inc_sigs_b{batch_id}")
     all_sigs = old_sigs.unionByName(new_sigs).localCheckpoint(eager=True)
 
     # incremental LSH probe: NEW band rows vs the full band index
@@ -156,7 +158,7 @@ def merge_mentions_batch(
     edges = _overwrite(edges, edges_path)
     _overwrite(all_sigs, sigs_path)
 
-    comp = connected_components(edges, "a", "b", ckpt_scope="inc_cc")
+    comp = connected_components(edges, "a", "b", ckpt_scope=f"inc_cc_b{batch_id}")
     assignments = (
         merged.select("lemma")
         .join(comp.withColumnRenamed("id", "lemma"), "lemma", "left")
