@@ -146,3 +146,91 @@ def test_nonoverlapping_pairs_properties(multients):
         for ents in multients:
             pure = {e[2:] for e in ents}
             assert not ({a, b} <= pure)
+
+
+# --- Spark-backed properties (few examples: each runs Spark jobs) ---------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_connected_components_equals_union_find(spark, raw):
+    """Star-contraction CC == plain union-find min-labels on arbitrary
+    graphs (self-loops, duplicates, multi-component)."""
+    from semanticrelationextractionpolish_spark.operators.linking import (
+        connected_components,
+    )
+
+    spark = spark
+    parent = list(range(61))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    seen = sorted({x for e in raw for x in e})
+    roots: dict = {}
+    expected = {}
+    for x in seen:
+        r = find(x)
+        roots.setdefault(r, x)
+        expected[x] = roots[r]
+
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x107),
+            max_size=30,
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.sampled_from([1, 2, 5, 9, 64]),
+    st.booleans(),
+)
+@settings(max_examples=5, deadline=None)
+def test_lines_source_matches_ground_truth(
+    spark, tmp_path_factory, lines, split_bytes, trailing_nl
+):
+    """Any file content + any split width: every line exactly once with
+    its true byte offset."""
+    from semanticrelationextractionpolish_spark.sources.lines import (
+        lines_with_offsets,
+    )
+
+    spark = spark
+    d = tmp_path_factory.mktemp("lines_prop")
+    data = "\n".join(lines).encode("utf-8") + (b"\n" if trailing_nl else b"")
+    f = d / "f.txt"
+    f.write_bytes(data)
+
+    expected = []
+    off = 0
+    raw_lines = data.split(b"\n")
+    if data.endswith(b"\n"):
+        raw_lines = raw_lines[:-1]
+    if data == b"":
+        raw_lines = []
+    for ln in raw_lines:
+        expected.append((str(f), off, ln.decode("utf-8", errors="replace")))
+        off += len(ln) + 1
+    got = sorted(
+        map(tuple, lines_with_offsets(spark, str(f), split_bytes=split_bytes).collect())
+    )
+    assert got == sorted(expected)
