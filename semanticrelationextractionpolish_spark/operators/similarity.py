@@ -410,3 +410,161 @@ def pairwise_cosine_dedup(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF: coarse-quantizer ANN (the second scale path besides hyperplane LSH)
+# --------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Each iteration broadcasts the current centroids; executors assign
+    rows and emit per-centroid (vector-sum, count) PARTIALS from one
+    vectorized numpy kernel per Arrow batch (classic data-parallel
+    k-means: driver traffic is n_centroids x dim per batch, never the
+    data); the driver averages and updates. Deterministic end to end:
+    init picks the ``n_centroids`` rows with the smallest
+    ``xxhash64(id, seed)`` (a seeded content-independent sample), and
+    the gradient-free update is an order-independent sum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
+    ).localCheckpoint(eager=True)  # scanned once per iteration
+    init_rows = (
+        base.orderBy(F.xxhash64(F.col("nid"), F.lit(seed)), F.col("nid"))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([r["nvec"] for r in init_rows], dtype=np.float64)
+    sc = embeddings.sparkSession.sparkContext
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("vsum", T.ArrayType(T.DoubleType()), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    for _ in range(n_iter):
+        bc = sc.broadcast(centroids)
+
+        def kernel(batches):
+            cents = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["nvec"].to_numpy()).astype(np.float64)
+                # squared L2 to each centroid; argmin assignment
+                d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                rows = {"cid": [], "vsum": [], "n": []}
+                for c in np.unique(a):
+                    rows["cid"].append(int(c))
+                    rows["vsum"].append(x[a == c].sum(axis=0).tolist())
+                    rows["n"].append(int((a == c).sum()))
+                yield pd.DataFrame(rows)
+
+        parts = base.mapInPandas(kernel, schema=schema).collect()
+        bc.unpersist()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in parts:
+            sums[r["cid"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cid"]] += r["n"]
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        # empty cells keep their previous centroid (standard Lloyd's)
+    return [c.tolist() for c in centroids]
+
+
+def _sq_dist(vec_col, centroid: list[float]):
+    lits = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lits, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, vec, cell) for the ``n_probe`` nearest coarse cells - pure
+    Column algebra over centroid literals (constant-folded, no Python in
+    the scan), the same literal-embedding trick as the LSH hyperplanes.
+    n_probe=1 is the index-build assignment; queries use n_probe>1."""
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("nvec"), c).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = F.slice(F.array_sort(dists), 1, n_probe)
+    return base.select(
+        "nid", "nvec", F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates restricted to each query's
+    ``n_probe`` nearest k-means cells (candidates ~ n_probe/n_centroids
+    of the corpus). The second ANN scale path besides the hyperplane
+    LSH (``ann_topk``); same output schema, comparable via
+    ``ann_recall``-style joins against ``brute_force_topk``."""
+    centroids = kmeans_centroids(
+        embeddings, n_centroids, n_iter, id_col, vec_col
+    )
+    index = assign_cells(embeddings, centroids, id_col, vec_col, n_probe=1)
+    queries = assign_cells(
+        embeddings.where(F.col(id_col).isin(query_ids)),
+        centroids,
+        id_col,
+        vec_col,
+        n_probe=n_probe,
+    ).select(
+        F.col("nid").alias("query_id"), F.col("nvec").alias("qvec"), "cell"
+    )
+    scored = index.join(queries, "cell").where(F.col("nid") != F.col("query_id"))
+    sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", F.col("nid").alias("neighbor_id"), sim.alias("cos_sim")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

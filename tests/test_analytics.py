@@ -180,3 +180,38 @@ def test_ann_recall_floor_on_planted_fixture(spark):
     assert rows[4]["mean_recall"] >= rows[12]["mean_recall"]
     # finer buckets really do shrink the candidate set
     assert rows[12]["avg_candidates"] < rows[4]["avg_candidates"]
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF coarse-quantizer ANN (the second scale path): on the planted
+    fixture, probing 2 of 16 k-means cells must recover most of the
+    brute-force top-5, and the distributed Lloyd's loop must be
+    deterministic across runs."""
+    from semanticrelationextractionpolish_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        planted_embeddings,
+    )
+
+    emb = planted_embeddings(
+        spark, n_base=600, n_queries=40, n_neighbors=5
+    ).localCheckpoint(eager=True)
+    qids = list(range(40))
+
+    c1 = kmeans_centroids(emb, n_centroids=16, n_iter=3)
+    c2 = kmeans_centroids(emb, n_centroids=16, n_iter=3)
+    assert c1 == c2  # seeded init + order-independent partials
+
+    exact = brute_force_topk(emb, qids, k=5).select(
+        "query_id", F.col("neighbor_id").alias("nid")
+    )
+    approx = ivf_topk(emb, qids, k=5, n_centroids=16, n_probe=2, n_iter=3)
+    hits = exact.join(
+        approx.select("query_id", F.col("neighbor_id").alias("nid")),
+        ["query_id", "nid"],
+    ).count()
+    recall = hits / exact.count()
+    assert recall >= 0.6, recall
+    # candidate restriction is real: every query produced <= k rows
+    assert approx.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 5
