@@ -29,6 +29,13 @@ Honored config surface (reference file:line in parens):
 * ``train_params.valid_split`` / ``test_split`` - seeded deterministic
   split (O5's documented deviation from the reference's unseeded
   shuffle);
+* ``input_data.precomputed_labels_path`` (kpwr) - restore the
+  label/relation maps from the per-scheme artifact instead of
+  rescanning the corpus (DataProvider.py:237-246 get_entity_labels;
+  first run writes the artifact, later runs restore it);
+* ``input_data.restrict_to_subsets`` - accepted and ignored: the key
+  appears in every reference config but is never read by the reference
+  code (verified: zero uses outside the config files);
 * ``engine`` - ``bilstm`` | ``transformers``: both score through the
   deterministic HashedLinearModel stand-in (drop-in replaceable by a
   trained model via ``model_path``).
@@ -368,12 +375,33 @@ def run_config(
             kpwr_tag_sentences,
         )
 
+        from ..sources.kpwr import restore_kpwr_label_maps, save_kpwr_label_maps
+
         docs, rels_docs = read_kpwr_corpus(spark, src)
-        label_vocab = kpwr_label_vocab(docs, entity_encoding)
-        labels_map = {r["label"]: r["label_id"] for r in label_vocab.collect()}
         rels = kpwr_relations(rels_docs)
-        rel_vocab = kpwr_relation_vocab(rels, add_no_rels=add_no_rels)
-        rels_map = {r["rel_class"]: r["rel_id"] for r in rel_vocab.collect()}
+        pre = inp.get("precomputed_labels_path")
+        if pre and os.path.exists(
+            os.path.join(pre, f"kpwr_labels_{entity_encoding}.json")
+        ):
+            # get_entity_labels' restore path (DataProvider.py:237-246):
+            # load the per-scheme artifact instead of rescanning
+            labels_map, rels_map = restore_kpwr_label_maps(pre, entity_encoding)
+            label_vocab = spark.createDataFrame(
+                [(k, int(v)) for k, v in labels_map.items()],
+                "label string, label_id int",
+            )
+            rel_vocab = spark.createDataFrame(
+                [(k, int(v)) for k, v in rels_map.items()],
+                "rel_class string, rel_id int",
+            )
+        else:
+            label_vocab = kpwr_label_vocab(docs, entity_encoding)
+            labels_map = {r["label"]: r["label_id"] for r in label_vocab.collect()}
+            rel_vocab = kpwr_relation_vocab(rels, add_no_rels=add_no_rels)
+            rels_map = {r["rel_class"]: r["rel_id"] for r in rel_vocab.collect()}
+            if pre:
+                # first run writes the artifact the next run restores
+                save_kpwr_label_maps(pre, labels_map, rels_map, entity_encoding)
         docs = kpwr_relevant_docs(docs, rels_docs)  # F2 prune
         sents = kpwr_tag_sentences(docs, labels_map)
         exploded = kpwr_explode_relations(

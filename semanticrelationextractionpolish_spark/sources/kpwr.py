@@ -366,3 +366,38 @@ def kpwr_quarantine(exploded: DataFrame) -> DataFrame:
     return exploded.where(F.col("quarantine_error").isNotNull()).select(
         "doc_id", "sent_id", "quarantine_error"
     )
+
+
+def save_kpwr_label_maps(
+    path: str,
+    labels_map: dict,
+    rels_map: dict,
+    entity_encoding_scheme: str = "iob",
+) -> None:
+    """Persist the label/relation maps as the engine's precomputed-labels
+    artifact (the reference pickles them per encoding scheme,
+    readers_kpwr.py:85-95 mk_kpwr_labels serialize + the shipped
+    kpwr_labels_iob.p; ours is json, same per-scheme file naming)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    fname = f"kpwr_labels_{entity_encoding_scheme or 'noencodingscheme'}.json"
+    with open(os.path.join(path, fname), "w", encoding="utf-8") as fh:
+        json.dump({"labels_map": labels_map, "rels_map": rels_map}, fh,
+                  ensure_ascii=False)
+
+
+def restore_kpwr_label_maps(
+    path: str, entity_encoding_scheme: str = "iob"
+) -> tuple[dict, dict]:
+    """restore_kpwr_labels (readers_kpwr.py:97-104): load the per-scheme
+    artifact instead of rescanning the corpus - the
+    ``precomputed_labels_path`` fast path of the config runner."""
+    import json
+    import os
+
+    fname = f"kpwr_labels_{entity_encoding_scheme or 'noencodingscheme'}.json"
+    with open(os.path.join(path, fname), encoding="utf-8") as fh:
+        data = json.load(fh)
+    return data["labels_map"], data["rels_map"]

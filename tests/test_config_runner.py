@@ -270,3 +270,37 @@ def test_run_config_training_loop(spark, corpora_dir):
     assert hist[-1]["loss"] <= hist[0]["loss"]
     classes = {r["gold_class"] for r in stages["examples"].collect()}
     assert stages["model"].w.shape == (96, len(classes))
+
+
+def test_run_config_kpwr_precomputed_labels(spark, corpora_dir, tmp_path):
+    """precomputed_labels_path (DataProvider.py:237-246): the first run
+    writes the per-scheme label artifact; later runs RESTORE it instead
+    of rescanning the corpus - proven by tampering the artifact and
+    seeing the sentinel label come back."""
+    import json
+
+    pre = str(tmp_path / "labels")
+    cfg = {
+        "input_data": {
+            "reader": "kpwr",
+            "add_no_relations_clazz": True,
+            "precomputed_labels_path": pre,
+        },
+        "tokenizer": {"iface": "bpemb", "entity_encoding": "iob"},
+        "max_seq_len": 45,
+    }
+    src = os.path.join(corpora_dir, "kpwr")
+    s1 = run_config(spark, cfg, source_files=src, score=False)
+    lv1 = {r["label"]: r["label_id"] for r in s1["label_vocab"].collect()}
+    artifact = os.path.join(pre, "kpwr_labels_iob.json")
+    assert os.path.exists(artifact)
+    with open(artifact, encoding="utf-8") as fh:
+        maps = json.load(fh)
+    assert maps["labels_map"] == {k: v for k, v in lv1.items()}
+    maps["labels_map"]["B-sentinel_nam"] = 99
+    with open(artifact, "w", encoding="utf-8") as fh:
+        json.dump(maps, fh)
+    s2 = run_config(spark, cfg, source_files=src, score=False)
+    lv2 = {r["label"]: r["label_id"] for r in s2["label_vocab"].collect()}
+    assert lv2["B-sentinel_nam"] == 99  # restored, not recomputed
+    assert s2["examples"].count() == s1["examples"].count()
