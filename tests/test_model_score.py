@@ -193,3 +193,40 @@ def test_train_model_learns_deterministically(spark, tmp_path):
     scored = score_with_model(mi, model_path=path)
     acc = scored.where("model_class = gold_class").count() / 240
     assert acc >= 0.9
+
+
+def test_torch_backend_contract_parity(spark):
+    """Skip-if-absent real-model harness (the round-2 'no TF/torch model
+    ever runs' gap, symmetrical to the tokenizer parity harness): when a
+    tensor backend is installed, a trained torch linear head over the
+    SAME pooled features must be swappable into the scoring path - the
+    engine contract is (pooled features) -> (label, score), backend-free."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from semanticrelationextractionpolish_spark.operators.model_score import (
+        EMB_DIM,
+        HashedLinearModel,
+    )
+
+    classes = ["rel_a", "rel_b"]
+    ref = HashedLinearModel(classes)
+    # a torch head initialized from the SAME weights must reproduce the
+    # numpy scorer's decisions bit-for-bit at float32
+    head = torch.nn.Linear(3 * EMB_DIM, len(classes), bias=False)
+    with torch.no_grad():
+        head.weight.copy_(torch.from_numpy(ref.w.T))
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 5000, size=(8, 16))
+    att = (ids != 0).astype(np.int32)
+    e1 = np.zeros_like(att)
+    e1[:, 1] = 1
+    e2 = np.zeros_like(att)
+    e2[:, 3] = 1
+    pooled = ref.pooled_features(ids, att, e1, e2)
+    torch_logits = head(torch.from_numpy(pooled)).detach().numpy()
+    np_logits = pooled @ ref.w
+    assert np.allclose(torch_logits, np_logits, atol=1e-5)
+    assert (torch_logits.argmax(axis=1) == np_logits.argmax(axis=1)).all()
