@@ -377,12 +377,14 @@ def explode_pairs_inline(
             special_token_ids=tokenizer.special_token_ids,
             corpus="generic",
         )
-        markers = {
-            tokenizer.ees_map["e1_beg"],
-            tokenizer.ees_map["e1_end"],
-            tokenizer.ees_map["e2_beg"],
-            tokenizer.ees_map["e2_end"],
-        }
+        # derive the marker set from the scheme actually inserted above,
+        # not tokenizer.ees_map: a tokenizer constructed with the default
+        # scheme_1 would otherwise veto every scheme_2 sentence and
+        # silently blank relation_info (round-3 advice)
+        if positional_tokens == "scheme_2":
+            markers = {"$", "#"}
+        else:
+            markers = {"<e1>", "</e1>", "<e2>", "</e2>"}
         if markers.issubset(set(toks)):
             relation_info = dict(inserted)
             relation_info["relation_class"] = relation_class

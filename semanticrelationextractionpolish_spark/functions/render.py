@@ -101,7 +101,12 @@ def show_scored(scored_df, n: int = 10, use_color: bool = True) -> list[str]:
         else:
             seq = r["url"]
         gold = r["gold_class"] if "gold_class" in cols else "?"
-        pred = r["model_class"] if "model_class" in cols else r.get("pred", "?")
+        # column-set check, not Row.get (pyspark Row has no .get)
+        pred = (
+            r["model_class"]
+            if "model_class" in cols
+            else (r["pred"] if "pred" in cols else "?")
+        )
         line = render_prediction(seq, gold or "?", pred or "?", use_color)
         print(line)
         out.append(line)

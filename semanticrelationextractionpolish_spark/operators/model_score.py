@@ -129,20 +129,24 @@ def score_with_model(
     model_inputs: DataFrame,
     classes: list[str] | None = None,
     model_path: str | None = None,
+    model: HashedLinearModel | None = None,
 ) -> DataFrame:
     """MODEL_INPUTS -> per-pair (model_class, model_score). The model is
     constructed once per batch iterator (executor-local singleton).
 
     With ``model_path``, the artifact is loaded ONCE on the driver and
     shipped to executors via a Spark broadcast (the production restore
-    path: weights move once per executor, not once per task)."""
-    if (classes is None) == (model_path is None):
-        raise ValueError("pass exactly one of classes= or model_path=")
+    path: weights move once per executor, not once per task). With
+    ``model=``, an in-memory ``HashedLinearModel`` (e.g. fresh out of
+    ``train_model``) is broadcast the same way."""
+    if sum(x is not None for x in (classes, model_path, model)) != 1:
+        raise ValueError("pass exactly one of classes=, model_path= or model=")
     bc = None
     if model_path is not None:
-        restored = load_model(model_path)
+        model = load_model(model_path)
+    if model is not None:
         sc = model_inputs.sparkSession.sparkContext
-        bc = sc.broadcast((restored.classes, restored.w))
+        bc = sc.broadcast((model.classes, model.w))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if bc is not None:

@@ -148,6 +148,15 @@ def test_run_config_semeval_matches_handwired(spark, corpora_dir):
                  info.get("e1_beg"), info.get("e2_beg"))
             )
     assert got == want
+    # scheme_2 must carry gold labels through (round-3 advice: the
+    # marker sanity check used the tokenizer's scheme_1 ees_map and
+    # blanked relation_info for every scheme_2 pair)
+    golds = {
+        r["gold_class"]
+        for r in stages["examples"].collect()
+        if r["gold_class"] is not None
+    }
+    assert "USAGE" in golds
     # directionality honored: the REVERSE line became a REV_ class in the
     # normalized relations stage (its entities are unannotated in the
     # corpus fixture, so it never reaches a pair row - same as hand-wired)
@@ -270,6 +279,76 @@ def test_run_config_training_loop(spark, corpora_dir):
     assert hist[-1]["loss"] <= hist[0]["loss"]
     classes = {r["gold_class"] for r in stages["examples"].collect()}
     assert stages["model"].w.shape == (96, len(classes))
+
+
+def test_run_config_train_holds_out_and_scores_with_trained_model(
+    spark, corpora_dir, tmp_path
+):
+    """Round-3 advice regressions: (1) the kpwr reader's NULL
+    e1_id/e2_id keys made the old split equi-join assign every row
+    split=NULL->train (no holdout at all); (2) score=True alongside
+    train=True scored with a fresh seed model, ignoring the trained
+    weights."""
+    from semanticrelationextractionpolish_spark.operators.model_score import (
+        score_with_model,
+    )
+    from semanticrelationextractionpolish_spark.plans.config_runner import (
+        with_split,
+    )
+
+    # the shared fixture has ONE kpwr doc (one url = one split bucket);
+    # clone it under several doc ids so the url-hash split can shed rows
+    corpus = tmp_path / "kpwr" / "korpus"
+    corpus.mkdir(parents=True)
+    doc = (corpora_dir and open(
+        os.path.join(corpora_dir, "kpwr", "korpus", "doc1.xml"), encoding="utf-8"
+    ).read())
+    rel = open(
+        os.path.join(corpora_dir, "kpwr", "korpus", "doc1.rel.xml"),
+        encoding="utf-8",
+    ).read()
+    for i in range(8):
+        (corpus / f"doc{i}.xml").write_text(doc, encoding="utf-8")
+        (corpus / f"doc{i}.rel.xml").write_text(rel, encoding="utf-8")
+    cfg = {
+        "input_data": {"reader": "kpwr", "add_no_relations_clazz": True},
+        "tokenizer": {"iface": "bpemb", "entity_encoding": "iob"},
+        "engine": "bilstm",
+        "max_seq_len": 45,
+        # large holdout so the tiny fixture is guaranteed to shed rows
+        "train_params": {
+            "num_epochs": 2,
+            "batch_size": 8,
+            "valid_split": 0.4,
+            "test_split": 0.4,
+        },
+    }
+    stages = run_config(
+        spark,
+        cfg,
+        source_files=os.path.join(str(tmp_path), "kpwr"),
+        score=True,
+        train=True,
+    )
+    total = stages["model_inputs"].count()
+    want_train = (
+        with_split(stages["model_inputs"], 0.4, 0.4)
+        .where("split = 'train'")
+        .count()
+    )
+    assert 0 < want_train < total  # the holdout actually held out rows
+    assert stages["train_history"][0]["n"] == want_train
+    # scored must reflect the trained weights, not a fresh seed model
+    got = sorted(map(tuple, stages["scored"].collect()))
+    want = sorted(
+        map(
+            tuple,
+            score_with_model(
+                stages["model_inputs"], model=stages["model"]
+            ).collect(),
+        )
+    )
+    assert got == want
 
 
 def test_run_config_kpwr_precomputed_labels(spark, corpora_dir, tmp_path):

@@ -329,3 +329,43 @@ def test_lines_source_split_invariance(spark, tmp_path):
         assert got == want, f"split_bytes={sb}"
     # directory expansion, no glob
     assert list_files(spark, str(tmp_path)) == [str(a), str(b)]
+
+
+def test_lines_source_matches_hadoop_textinputformat(spark, tmp_path):
+    """Record-for-record parity of the batched Arrow reader with a REAL
+    Hadoop TextInputFormat scan (the format whose boundary semantics the
+    reader claims): same (offset, value) set on LF / CRLF / lone-CR /
+    unterminated-tail inputs, at full-file and pathological split sizes."""
+    from semanticrelationextractionpolish_spark.sources.lines import (
+        lines_with_offsets,
+    )
+
+    cases = [
+        b"alpha\nbe\r\nx\rlast",  # every terminator flavor + unterminated tail
+        b"a\r\nb\n",  # CRLF straddles odd split boundaries
+        b"x\ry\n",  # lone CR terminates (round-3 advice: was one record)
+        b"\r\r\n\n",  # empty records under each terminator
+        b"no terminator at all",
+        b"ends with cr\r",
+    ]
+    sc = spark.sparkContext
+    for i, data in enumerate(cases):
+        p = tmp_path / f"case_{i}.txt"
+        p.write_bytes(data)
+        want = sorted(
+            (off, val)
+            for off, val in sc.newAPIHadoopFile(
+                "file://" + str(p),
+                "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+                "org.apache.hadoop.io.LongWritable",
+                "org.apache.hadoop.io.Text",
+            ).collect()
+        )
+        for sb in (1, 2, 3, 1 << 20):
+            got = sorted(
+                (r["off"], r["value"])
+                for r in lines_with_offsets(
+                    spark, str(p), split_bytes=sb
+                ).collect()
+            )
+            assert got == want, f"case {i} ({data!r}) split_bytes={sb}"
