@@ -3,24 +3,40 @@
 Engine addition beyond the reference (which is batch-only): continuous
 ingestion keeps a persistent canonical-node state that each micro-batch
 of NEW mentions merges into - without re-blocking the whole lemma
-universe per batch.
+universe or re-solving the whole similarity graph per batch.
 
 Per batch (``foreachBatch`` over a mentions stream):
 
-1. aggregate the batch to (lemma, n_mentions, surfaces) and MERGE into
-   the lemma state (entity-scale, orders of magnitude smaller than the
-   corpus; in production this merge and every state write below is an
-   Iceberg MERGE INTO / snapshot commit - parquet overwrite after an
-   eager materialization stands in, same discipline as
-   ``operators/materialize.write_graph``);
+1. aggregate the batch to (lemma, n_mentions, surfaces) and append it
+   as a ``batch_id``-keyed segment of the lemma state;
 2. compute MinHash signatures/band rows for the NEW lemmas ONLY and
    probe them against the accumulated band-row index - an incremental
    index probe costing ~new_lemmas x bucket occupancy, not the full
    O(n) re-blocking of batch ``lsh_candidate_pairs``;
-3. Jaccard-verify candidates against the shingle state, append the
-   surviving edges to the edge state (graph-scale);
-4. re-run star-contraction ``connected_components`` on the accumulated
-   edge set and rewrite the assignments table.
+3. Jaccard-verify candidates against the shingle state; the surviving
+   edges become this batch's edge segment;
+4. **incremental component merge** (round-3 verdict "Next" #4 - the
+   old path re-ran connected components over the ENTIRE accumulated
+   edge set every batch): map each new edge's endpoints through the
+   existing assignment to their component representatives, run
+   star-contraction only on that (tiny) representative graph, and
+   recompose. Correctness: a component's canonical label is the MIN
+   lemma it contains, so each representative IS the min of its old
+   component, and the min reachable representative equals the min
+   lemma of the merged component - exactly what batch CC over the full
+   edge set would label it. Per-batch CC cost is proportional to new
+   edges + touched components, independent of total graph size
+   (probed: ``tools/probe_incremental_cc.py``).
+
+All state lives in a ``VersionedState`` (see ``streaming/state.py``):
+immutable per-batch segments + one atomic manifest swap per batch, so
+a crash at any point leaves the previous batch's complete state (the
+round-3 in-place ``mode("overwrite")`` lost ALL accumulated state on a
+mid-write crash), and ``foreachBatch`` replay re-stages the same
+``batch_id`` segments instead of double-appending. In production every
+table is an Iceberg table and the manifest swap is its snapshot
+commit; the assignment table's full rewrite per batch would be a
+MERGE INTO touching only re-labeled rows.
 
 Correctness contract (tested): after the stream drains, the
 assignments equal batch ``canonicalize()`` over all mentions at once.
@@ -33,8 +49,6 @@ cap.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,20 +59,12 @@ from ..operators.linking import (
     connected_components,
     shingle_table,
 )
+from .state import VersionedState
 
-
-def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
-
-
-def _overwrite(df: DataFrame, path: str) -> DataFrame:
-    # eager materialization BEFORE overwriting a path that fed the plan
-    # (Spark cannot overwrite an input it is still lazily reading)
-    df = df.localCheckpoint(eager=True)
-    df.write.mode("overwrite").parquet(path)
-    return df
+LEMMAS_SCHEMA = "batch_id long, lemma string, n_mentions long, surfaces array<string>"
+SIGS_SCHEMA = "lemma string, shingles array<string>, sigs array<int>"
+EDGES_SCHEMA = "a string, b string"
+ASSIGN_SCHEMA = "lemma string, node_id long, canonical string"
 
 
 def merge_mentions_batch(
@@ -73,49 +79,40 @@ def merge_mentions_batch(
     jobs and via ``incremental_canonicalize`` for streams.
 
     Replay-idempotent (foreachBatch may re-deliver a batch after a
-    failure): the lemma state is keyed by ``batch_id`` and the batch's
-    rows are replaced, not re-added, so counts never double; edges are
-    written BEFORE the signature state, so a crash between the two
-    leaves the batch's lemmas "unseen" and the replay recomputes the
-    same edges (dropDuplicates makes the re-append a no-op)."""
-    lemmas_path = os.path.join(state_dir, "lemmas")
-    sigs_path = os.path.join(state_dir, "sigs")
-    edges_path = os.path.join(state_dir, "edges")
-    assign_path = os.path.join(state_dir, "assignments")
+    failure): every appended segment is keyed by ``batch_id`` and
+    REPLACES any prior segment of the same batch, and nothing becomes
+    visible before the single atomic manifest swap at the end."""
+    store = VersionedState(spark, state_dir)
 
     batch_agg = batch_mentions.groupBy("lemma").agg(
         F.count(F.lit(1)).alias("n_mentions"),
         F.collect_set("surface").alias("surfaces"),
     )
-    old_lemmas = _read_state(
-        spark, lemmas_path,
-        "batch_id long, lemma string, n_mentions long, surfaces array<string>",
-    )
-    lemma_state = old_lemmas.where(F.col("batch_id") != batch_id).unionByName(
-        batch_agg.withColumn("batch_id", F.lit(batch_id).cast("long"))
-    )
-    merged = lemma_state.groupBy("lemma").agg(
-        F.sum("n_mentions").alias("n_mentions"),
-        F.array_distinct(F.flatten(F.collect_list("surfaces"))).alias("surfaces"),
+    store.append_batch(
+        "lemmas",
+        batch_agg.withColumn("batch_id", F.lit(batch_id).cast("long")).select(
+            "batch_id", "lemma", "n_mentions", "surfaces"
+        ),
+        batch_id,
     )
 
     # signatures/bands for lemmas the state has never seen
-    old_sigs = _read_state(
-        spark, sigs_path,
-        "lemma string, shingles array<string>, sigs array<int>",
-    )
+    old_sigs = store.read("sigs", SIGS_SCHEMA)
     new_lemmas = batch_agg.select("lemma").join(
         old_sigs.select("lemma"), "lemma", "left_anti"
     )
     # distinct checkpoint name per batch: the durable-barrier mode must
     # never resume a PREVIOUS batch's signature table for this one
-    new_sigs = shingle_table(new_lemmas, "lemma", ckpt_name=f"inc_sigs_b{batch_id}")
-    all_sigs = old_sigs.unionByName(new_sigs).localCheckpoint(eager=True)
+    new_sigs = shingle_table(
+        new_lemmas, "lemma", ckpt_name=f"inc_sigs_b{batch_id}"
+    ).localCheckpoint(eager=True)
+    store.append_batch("sigs", new_sigs.select("lemma", "shingles", "sigs"), batch_id)
+    all_sigs = old_sigs.unionByName(new_sigs)
 
     # incremental LSH probe: NEW band rows vs the full band index
     # (recomputing band rows from the sig state is a cheap codegen map
-    # over graph-scale rows; at larger scale the band index itself is a
-    # stored state table appended per batch)
+    # over entity-scale rows; at larger scale the band index itself
+    # becomes one more appended state table)
     new_bands = _band_rows(new_sigs, "lemma")
     all_bands = _band_rows(all_sigs, "lemma").localCheckpoint(eager=True)
     sizes = all_bands.groupBy("band_idx", "band_hash").agg(
@@ -145,30 +142,58 @@ def merge_mentions_batch(
     new_edges = (
         cand.where(inter / F.greatest(union, F.lit(1)) >= F.lit(jaccard))
         .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    store.append_batch("edges", new_edges, batch_id)
+
+    # --- incremental component merge -------------------------------------
+    prev = store.read("assignments", ASSIGN_SCHEMA).select("lemma", "canonical")
+    rep_of = lambda side: F.coalesce(F.col(f"canon_{side}"), F.col(side))
+    rep_edges = (
+        new_edges.join(
+            prev.select(
+                F.col("lemma").alias("a"), F.col("canonical").alias("canon_a")
+            ),
+            "a",
+            "left",
+        )
+        .join(
+            prev.select(
+                F.col("lemma").alias("b"), F.col("canonical").alias("canon_b")
+            ),
+            "b",
+            "left",
+        )
+        .select(rep_of("a").alias("ra"), rep_of("b").alias("rb"))
+        .where(F.col("ra") != F.col("rb"))
+        .dropDuplicates(["ra", "rb"])
+    )
+    # star contraction over REPRESENTATIVES only: cost follows this
+    # batch's new edges + the components they touch, not the full graph
+    comp = connected_components(
+        rep_edges, "ra", "rb", ckpt_scope=f"inc_cc_b{batch_id}"
     )
 
-    old_edges = _read_state(spark, edges_path, "a string, b string")
-    edges = old_edges.unionByName(new_edges).dropDuplicates(["a", "b"])
-
-    # persist state (merge-into in production; see module docstring).
-    # merged materializes BEFORE the lemma path it lazily reads is
-    # overwritten; edges BEFORE sigs for crash-safety (docstring).
-    merged = merged.localCheckpoint(eager=True)
-    _overwrite(lemma_state, lemmas_path)
-    edges = _overwrite(edges, edges_path)
-    _overwrite(all_sigs, sigs_path)
-
-    comp = connected_components(edges, "a", "b", ckpt_scope=f"inc_cc_b{batch_id}")
+    merged = store.read("lemmas", LEMMAS_SCHEMA).groupBy("lemma").agg(
+        F.sum("n_mentions").alias("n_mentions")
+    )
     assignments = (
         merged.select("lemma")
-        .join(comp.withColumnRenamed("id", "lemma"), "lemma", "left")
-        .withColumn("comp", F.coalesce("comp", "lemma"))
+        .join(prev, "lemma", "left")
+        .withColumn("rep", F.coalesce("canonical", "lemma"))
+        .join(
+            comp.select(F.col("id").alias("rep"), "comp"), "rep", "left"
+        )
+        .select(
+            "lemma",
+            F.coalesce("comp", "rep").alias("canonical"),
+        )
+        .select("lemma", F.xxhash64("canonical").alias("node_id"), "canonical")
+        .localCheckpoint(eager=True)
     )
-    canon = assignments.groupBy("comp").agg(F.min("lemma").alias("canonical"))
-    assignments = assignments.join(canon, "comp").select(
-        "lemma", F.xxhash64("canonical").alias("node_id"), "canonical"
-    )
-    return _overwrite(assignments, assign_path)
+    store.replace("assignments", assignments)
+    store.commit()  # the single atomic publish point for all four tables
+    return assignments
 
 
 def incremental_canonicalize(
