@@ -130,6 +130,49 @@ def lsh_bucket(vec_col, dim: int = DEFAULT_DIM, n_planes: int = N_PLANES):
     return key
 
 
+def lsh_probe_buckets(
+    vec_col,
+    dim: int = DEFAULT_DIM,
+    n_planes: int = N_PLANES,
+    n_probe: int = 1,
+):
+    """Multi-probe bucket list (Lv et al., VLDB'07 single-bit flips): the
+    query's own bucket plus the ``n_probe - 1`` buckets reached by
+    flipping the sign bits with the SMALLEST |hyperplane dot| - the
+    planes the vector sits closest to, i.e. the most likely misplaced
+    bits. Raises recall without touching the index side (still one
+    bucket per indexed vector); candidates grow ~linearly in n_probe
+    instead of the 2x-per-bit cost of using fewer planes. Deterministic
+    and mirrored bit-for-bit by ``lsh_probe_buckets_sql`` (both engines
+    fold the dots in identical order and sort (|dot|, flip-mask) struct
+    lists lexicographically)."""
+    dots = [_plane_dot(vec_col, p) for p in hyperplanes(dim, n_planes)]
+    bucket = F.lit(0)
+    for d in dots:
+        bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = F.shiftleft(bucket, 1) + bit
+    if n_probe <= 1:
+        return F.array(bucket)
+    flips = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(d).alias("a"),
+                        F.lit(1 << (n_planes - 1 - i)).alias("m"),
+                    )
+                    for i, d in enumerate(dots)
+                ]
+            )
+        ),
+        1,
+        min(n_probe - 1, n_planes),
+    )
+    return F.concat(
+        F.array(bucket), F.transform(flips, lambda s: bucket.bitwiseXOR(s["m"]))
+    )
+
+
 def _fold_dot_sql(vec_expr: str, lits: str, dim: int) -> str:
     """<v, plane> as a strict left-to-right DOUBLE fold over per-element
     products - the exact evaluation order of ``_plane_dot``'s
@@ -156,6 +199,32 @@ def lsh_bucket_sql(
     return "(" + " + ".join(terms) + ")"
 
 
+def lsh_probe_buckets_sql(
+    vec_expr: str,
+    dim: int = DEFAULT_DIM,
+    n_planes: int = N_PLANES,
+    n_probe: int = 1,
+) -> str:
+    """DuckDB mirror of ``lsh_probe_buckets``: same bucket, same
+    (|dot|, mask) struct sort, same single-bit xor flips."""
+    bucket = lsh_bucket_sql(vec_expr, dim, n_planes)
+    if n_probe <= 1:
+        return f"[{bucket}]"
+    structs = []
+    for i, plane in enumerate(hyperplanes(dim, n_planes)):
+        lits = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+        structs.append(
+            f"{{'a': abs({_fold_dot_sql(vec_expr, lits, dim)}), "
+            f"'m': {1 << (n_planes - 1 - i)}}}"
+        )
+    n_flip = min(n_probe - 1, n_planes)
+    return (
+        f"([{bucket}] || list_transform("
+        f"list_sort([{', '.join(structs)}])[1:{n_flip}], "
+        f"x -> xor(({bucket})::BIGINT, x.m::BIGINT)))"
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -164,18 +233,32 @@ def ann_topk(
     dim: int = DEFAULT_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
     random-hyperplane bucket (equi-join on bucket key instead of the
-    cross join). Recall < 1 by construction; the bench compares its
-    hit-rate and speed against brute force."""
+    cross join), plus - with ``n_probe > 1`` - the multi-probe flip
+    buckets (``lsh_probe_buckets``). The index side always carries ONE
+    bucket per vector; only the (tiny, broadcast) query side fans out,
+    so candidates grow ~linearly in n_probe. Recall < 1 by
+    construction; the bench measures recall and candidate fraction per
+    (n_planes, n_probe) operating point."""
     base = embeddings.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
     ).withColumn("bucket", lsh_bucket(F.col("nvec"), dim, n_planes))
-    queries = base.where(F.col("nid").isin(query_ids)).select(
-        F.col("nid").alias("query_id"),
-        F.col("nvec").alias("qvec"),
-        F.col("bucket"),
+    queries = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qvec"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(
+                lsh_probe_buckets(F.col("qvec"), dim, n_planes, n_probe)
+            ).alias("bucket"),
+        )
     )
     scored = base.join(F.broadcast(queries), "bucket").where(
         F.col("nid") != F.col("query_id")
@@ -196,18 +279,23 @@ def ann_topk_oracle_sql(
     n_planes: int = N_PLANES,
     dim: int = DEFAULT_DIM,
     table: str = "embeddings",
+    n_probe: int = 1,
 ) -> str:
     """DuckDB mirror of ``ann_topk``: recomputes the hyperplane buckets
-    from the same literals, then the bucket-restricted top-k."""
+    (and, for ``n_probe > 1``, the multi-probe flip set) from the same
+    literals, then the bucket-restricted top-k."""
     ids = ", ".join(str(i) for i in query_ids)
     bucket = lsh_bucket_sql("embedding", dim, n_planes)
+    probes = lsh_probe_buckets_sql("qemb", dim, n_planes, n_probe)
     sim = "round(list_cosine_similarity(q.qemb::DOUBLE[], n.embedding::DOUBLE[]), 6)"
     return f"""
         WITH base AS (
           SELECT vec_id AS nid, embedding, {bucket} AS bucket FROM {table}
+        ), q0 AS (
+          SELECT vec_id AS query_id, embedding AS qemb
+          FROM {table} WHERE vec_id IN ({ids})
         ), q AS (
-          SELECT nid AS query_id, embedding AS qemb, bucket
-          FROM base WHERE nid IN ({ids})
+          SELECT query_id, qemb, unnest({probes}) AS bucket FROM q0
         )
         SELECT query_id, rank, neighbor_id, cos_sim FROM (
           SELECT q.query_id, n.nid AS neighbor_id, {sim} AS cos_sim,
@@ -259,18 +347,38 @@ def ann_recall_sweep(
     total = embeddings.count()
     out = []
     for np_ in plane_counts:
-        rec = ann_recall(embeddings, query_ids, k, np_, dim)
+        n_probe = np_[1] if isinstance(np_, tuple) else 1
+        np_ = np_[0] if isinstance(np_, tuple) else np_
+        rec = ann_recall(embeddings, query_ids, k, np_, dim, n_probe=n_probe)
         mean_recall = rec.agg(F.avg("recall")).first()[0]
-        # candidate fraction: expected bucket-mate share of the corpus
+        # candidate fraction: expected probed-bucket share of the corpus
+        # (measured over the actual query probe sets, not the whole
+        # corpus, so multi-probe fan-out is priced in)
         base = embeddings.select(
-            lsh_bucket(_as_double(F.col("embedding")), dim, np_).alias("b")
+            F.col("vec_id").alias("nid"),
+            lsh_bucket(_as_double(F.col("embedding")), dim, np_).alias("b"),
         )
         sizes = base.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
-        # E[bucket size seen by a random vector] = sum(n^2)/total
-        exp_bucket = sizes.agg(F.sum(F.col("n") * F.col("n"))).first()[0] / total
+        probes = (
+            embeddings.where(F.col("vec_id").isin(query_ids))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(
+                    lsh_probe_buckets(
+                        _as_double(F.col("embedding")), dim, np_, n_probe
+                    )
+                ).alias("b"),
+            )
+        )
+        exp_bucket = (
+            probes.join(sizes, "b", "left")
+            .agg(F.sum(F.coalesce("n", F.lit(0))) / F.countDistinct("query_id"))
+            .first()[0]
+        )
         out.append(
             {
                 "n_planes": np_,
+                "n_probe": n_probe,
                 "mean_recall": round(float(mean_recall), 4),
                 "avg_candidates": round(exp_bucket, 1),
                 "candidate_frac": round(exp_bucket / total, 4),
@@ -285,6 +393,7 @@ def ann_recall(
     k: int = 5,
     n_planes: int = N_PLANES,
     dim: int = DEFAULT_DIM,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Recall gate for the ANN path: per query, the fraction of the exact
     brute-force top-k recovered by the LSH-bucketed search. Deterministic
@@ -293,9 +402,9 @@ def ann_recall(
     exact = brute_force_topk(embeddings, query_ids, k).select(
         "query_id", F.col("neighbor_id").alias("nid_exact")
     )
-    approx = ann_topk(embeddings, query_ids, k, n_planes, dim).select(
-        "query_id", F.col("neighbor_id").alias("nid_ann")
-    )
+    approx = ann_topk(
+        embeddings, query_ids, k, n_planes, dim, n_probe=n_probe
+    ).select("query_id", F.col("neighbor_id").alias("nid_ann"))
     hits = exact.join(
         approx,
         (exact.query_id == approx.query_id) & (exact.nid_exact == approx.nid_ann),
@@ -322,9 +431,11 @@ def ann_recall_oracle_sql(
     n_planes: int = N_PLANES,
     dim: int = DEFAULT_DIM,
     table: str = "embeddings",
+    n_probe: int = 1,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     bucket = lsh_bucket_sql("embedding", dim, n_planes)
+    probes = lsh_probe_buckets_sql("qemb", dim, n_planes, n_probe)
     bsim = "round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6)"
     asim = "round(list_cosine_similarity(q.qemb::DOUBLE[], n.embedding::DOUBLE[]), 6)"
     return f"""
@@ -339,9 +450,11 @@ def ann_recall_oracle_sql(
           ) WHERE rank <= {k}
         ), base AS (
           SELECT vec_id AS nid, embedding, {bucket} AS bucket FROM {table}
+        ), qs0 AS (
+          SELECT vec_id AS query_id, embedding AS qemb
+          FROM {table} WHERE vec_id IN ({ids})
         ), qs AS (
-          SELECT nid AS query_id, embedding AS qemb, bucket
-          FROM base WHERE nid IN ({ids})
+          SELECT query_id, qemb, unnest({probes}) AS bucket FROM qs0
         ), approx AS (
           SELECT query_id, neighbor_id FROM (
             SELECT q.query_id, n.nid AS neighbor_id,
@@ -464,12 +577,15 @@ def kmeans_centroids(
 
         def kernel(batches):
             cents = bc.value
+            c2 = (cents * cents).sum(axis=1)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 x = np.stack(pdf["nvec"].to_numpy()).astype(np.float64)
-                # squared L2 to each centroid; argmin assignment
-                d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                # argmin of ||x-c||^2 via the matmul form (the naive
+                # (B,C,D) broadcast temp is ~1.3e9 doubles at a 20k
+                # batch x 1024 cells x 64 dims; B x C stays ~20M)
+                d = c2[None, :] - 2.0 * (x @ cents.T)
                 a = d.argmin(axis=1)
                 rows = {"cid": [], "vsum": [], "n": []}
                 for c in np.unique(a):
@@ -491,15 +607,6 @@ def kmeans_centroids(
     return [c.tolist() for c in centroids]
 
 
-def _sq_dist(vec_col, centroid: list[float]):
-    lits = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, lits, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def assign_cells(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -507,25 +614,61 @@ def assign_cells(
     vec_col: str = "embedding",
     n_probe: int = 1,
 ) -> DataFrame:
-    """(id, vec, cell) for the ``n_probe`` nearest coarse cells - pure
-    Column algebra over centroid literals (constant-folded, no Python in
-    the scan), the same literal-embedding trick as the LSH hyperplanes.
-    n_probe=1 is the index-build assignment; queries use n_probe>1."""
+    """(id, vec, cell) for the ``n_probe`` nearest coarse cells.
+
+    The centroid matrix rides a Spark BROADCAST into one vectorized
+    numpy argmin per Arrow batch (the same kernel shape as
+    ``kmeans_centroids``' assignment step). The round-3 version built
+    one literal struct per centroid into the Column tree - fine at 16
+    cells, but a codegen/constant-pool bomb at the 1k-64k cells a
+    100 TB corpus needs (round-3 verdict "Next" #5: measured sweep in
+    BENCH/BASELINE.md; the literal plan would not even compile at 64k
+    cells x 64 dims). Ties break to the lowest cell id (stable argsort),
+    matching the old struct array_sort order."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    n_probe = max(1, min(n_probe, len(centroids)))
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
     base = embeddings.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
     )
-    dists = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col("nvec"), c).alias("d"), F.lit(i).alias("cell")
-            )
-            for i, c in enumerate(centroids)
+    schema = T.StructType(
+        [
+            T.StructField("nid", T.LongType(), False),
+            T.StructField("nvec", T.ArrayType(T.DoubleType()), False),
+            T.StructField("cell", T.IntegerType(), False),
         ]
     )
-    probed = F.slice(F.array_sort(dists), 1, n_probe)
-    return base.select(
-        "nid", "nvec", F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell")
-    )
+
+    def kernel(batches):
+        cents = bc.value  # (C, D)
+        c2 = (cents * cents).sum(axis=1)  # (C,)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["nvec"].to_numpy()).astype(np.float64)  # (B, D)
+            # argmin over ||x-c||^2 = -2 x.c + ||c||^2 (+ const in x)
+            d = c2[None, :] - 2.0 * (x @ cents.T)  # (B, C)
+            if n_probe == 1:
+                cells = d.argmin(axis=1)[:, None]  # lowest index wins ties
+            else:
+                order = np.argsort(d, axis=1, kind="stable")  # ties -> low id
+                cells = order[:, :n_probe]
+            nid = np.repeat(pdf["nid"].to_numpy(), n_probe)
+            vecs = [v for v in pdf["nvec"] for _ in range(n_probe)]
+            yield pd.DataFrame(
+                {
+                    "nid": nid,
+                    "nvec": vecs,
+                    "cell": cells.ravel().astype(np.int32),
+                }
+            )
+
+    return base.mapInPandas(kernel, schema=schema)
 
 
 def ivf_topk(
