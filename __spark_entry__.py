@@ -57,23 +57,42 @@ _PAGES_SQL = f"read_parquet('{FIXTURE_DIR}/pages_sf0.01.parquet')"
 _PAGE_RELS_SQL = f"read_parquet('{FIXTURE_DIR}/page_relations_sf0.01.parquet')"
 
 
-def _pages_pinned(spark: SparkSession) -> DataFrame:
+def _pinned_tag(sf_dir: str | None) -> str:
+    """Golden-pin fixture tag for a driver sf_dir: sf0.1 gets its own
+    frozen fixtures (round-3 verdict #9: exercise driver-scale data, not
+    always the sf0.01 pin); everything else - including the driver's
+    sf0.01 correctness gate, whose DuckDB oracles read the sf0.01
+    fixtures - pins to sf0.01."""
+    if sf_dir and _fixture_tag(sf_dir) == "sf0.1" and os.path.exists(
+        os.path.join(FIXTURE_DIR, "pages_sf0.1.parquet")
+    ):
+        return "sf0.1"
+    return "sf0.01"
+
+
+def _pages_pinned(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """sf-PINNED input for the golden-pin queries (kg_triples,
     model_inputs, kg_gold_parity): their oracles read fixtures frozen at
     sf0.01 (tools/freeze_fixtures.py), so the Spark side must read the
     same committed sf0.01 pages regardless of the driver's sf_dir -
     otherwise any other scale factor would compare live output against
-    the sf0.01 fixture (round-2 advice). These queries are golden-pin
-    REGRESSION checks (pinned fresh against the live pipeline by
-    tests/test_tensorize.py), not independent cross-engine derivations;
-    the independent derivations are kg_gold_parity's gold-recoverability
+    the sf0.01 fixture (round-2 advice). A second frozen set exists at
+    sf0.1 (50k pages) and is selected when the driver runs at sf0.1;
+    pin-freshness holds at BOTH sfs (tests/test_tensorize.py). These
+    queries are golden-pin REGRESSION checks (pinned fresh against the
+    live pipeline), not independent cross-engine derivations; the
+    independent derivations are kg_gold_parity's gold-recoverability
     SQL and the plain-Python oracle test."""
-    return spark.read.parquet(os.path.join(FIXTURE_DIR, "pages_sf0.01.parquet"))
-
-
-def _page_rels_pinned(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(
-        os.path.join(FIXTURE_DIR, "page_relations_sf0.01.parquet")
+        os.path.join(FIXTURE_DIR, f"pages_{_pinned_tag(sf_dir)}.parquet")
+    )
+
+
+def _page_rels_pinned(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(
+            FIXTURE_DIR, f"page_relations_{_pinned_tag(sf_dir)}.parquet"
+        )
     )
 
 
@@ -527,9 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # golden-pin check: input pinned to the committed sf0.01 fixture
         # (the oracle reads pairs_sf0.01.parquet) - see _pages_pinned
-        pages = _pages_pinned(spark).where(F.col("lang") == "pl")
+        pages = _pages_pinned(spark, sf).where(F.col("lang") == "pl")
         sents = segment_and_tag(pages)
-        pairs = generate_pairs(sents, _page_rels_pinned(spark))
+        pairs = generate_pairs(sents, _page_rels_pinned(spark, sf))
         mi = prepare_model_inputs(pairs, max_seq_len=80)
         return mi.select(
             "url",
@@ -615,7 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pre-linking cols); input pinned - see _pages_pinned
         from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
 
-        stages = build_kg(spark, _pages_pinned(spark), _page_rels_pinned(spark))
+        stages = build_kg(spark, _pages_pinned(spark, sf), _page_rels_pinned(spark, sf))
         return stages["triples"].select(
             "url", "sent_idx", "subj", "pred", "obj", "subj_id", "obj_id"
         )
@@ -633,7 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
 
         stages = build_kg(
-            spark, _pages_pinned(spark), _page_rels_pinned(spark), link=False
+            spark, _pages_pinned(spark, sf), _page_rels_pinned(spark, sf), link=False
         )
         return stages["triples"].select(
             "url",

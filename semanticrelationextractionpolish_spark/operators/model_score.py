@@ -198,6 +198,11 @@ def train_model(
     lr: float = 0.5,
     seed: int = 7,
     l2: float = 0.0,
+    optimizer: str = "gd",
+    adam_lr: float = 5e-4,
+    adam_betas: tuple[float, float] = (0.9, 0.999),
+    adam_eps: float = 1e-7,
+    adam_step_compensation: bool = True,
 ) -> tuple[HashedLinearModel, list[dict]]:
     """U12: the reference's training loop (``train_params``:
     ``num_epochs=12, batch_size=32``, config_kpwr.json:26), restated as
@@ -217,12 +222,30 @@ def train_model(
     Early stopping mirrors the reference: not implemented
     (config_kpwr.json:28 "TODO_not_supported_yet").
 
+    ``optimizer="adam"`` runs the reference's optimizer
+    (RelacjoSzukaczLSTM.py:62: Adam, lr 5e-4; betas/eps at the library
+    defaults) with the moment vectors held on the driver - they are the
+    same tiny shape as ``w``, so the distributed part is unchanged (one
+    order-independent gradient sum per epoch). Documented delta vs the
+    reference: it steps once per MINIBATCH (~n/batch_size steps/epoch),
+    we step once per epoch on the full-batch gradient; since an Adam
+    step's magnitude is ~lr regardless of gradient scale,
+    ``adam_step_compensation`` (default on) multiplies the step by
+    ceil(n/batch_size) so one epoch moves the weights about as far as
+    the reference's epoch of minibatch steps. ``optimizer="gd"`` keeps
+    the round-3 plain gradient-descent behavior bit-for-bit.
+
     Returns (trained model, per-epoch history of loss/accuracy).
     """
+    if optimizer not in ("gd", "adam"):
+        raise ValueError(f"Unknown optimizer {optimizer!r}")
     sc = model_inputs.sparkSession.sparkContext
     classes = list(classes)
     cls_idx = {c: i for i, c in enumerate(classes)}
     model = HashedLinearModel(classes, seed=seed)
+    # Adam moments live on the driver: same (tiny) shape as w
+    adam_m = np.zeros_like(model.w, dtype=np.float64)
+    adam_v = np.zeros_like(model.w, dtype=np.float64)
     src = model_inputs.select(
         "input_ids", "attention_mask", "e1_mask", "e2_mask", "gold_class"
     ).localCheckpoint(eager=True)  # scan once, reuse across epochs
@@ -288,7 +311,21 @@ def train_model(
         grad /= n_total
         if l2:
             grad += l2 * model.w
-        model.w = (model.w - lr * grad).astype(np.float32)
+        if optimizer == "adam":
+            b1, b2 = adam_betas
+            t = epoch + 1
+            adam_m = b1 * adam_m + (1.0 - b1) * grad
+            adam_v = b2 * adam_v + (1.0 - b2) * grad * grad
+            m_hat = adam_m / (1.0 - b1**t)
+            v_hat = adam_v / (1.0 - b2**t)
+            step = adam_lr
+            if adam_step_compensation:
+                step *= max(1, -(-n_total // batch_size))  # ceil division
+            model.w = (
+                model.w - step * m_hat / (np.sqrt(v_hat) + adam_eps)
+            ).astype(np.float32)
+        else:
+            model.w = (model.w - lr * grad).astype(np.float32)
         history.append(
             {
                 "epoch": epoch,

@@ -492,11 +492,15 @@ def run_config(
                 .where(F.col("split") == "train")
                 .drop("split")
             )
+            # the reference engines train with Adam(lr=5e-4)
+            # (RelacjoSzukaczLSTM.py:61); "gd" remains selectable
             model, history = train_model(
                 train_inputs,
                 classes,
                 num_epochs=int(tp.get("num_epochs", 12)),
                 batch_size=int(tp.get("batch_size", 32)),
+                optimizer=tp.get("optimizer", "adam"),
+                adam_lr=float(tp.get("learning_rate", 5e-4)),
             )
             stages["model"] = model
             stages["train_history"] = history

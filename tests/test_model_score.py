@@ -230,3 +230,62 @@ def test_torch_backend_contract_parity(spark):
     np_logits = pooled @ ref.w
     assert np.allclose(torch_logits, np_logits, atol=1e-5)
     assert (torch_logits.argmax(axis=1) == np_logits.argmax(axis=1)).all()
+
+
+def test_train_model_adam_faster_and_deterministic(spark):
+    """Round-3 verdict #8: the reference's optimizer (Adam, lr 5e-4,
+    RelacjoSzukaczLSTM.py:61) with driver-held moments. On the same
+    separable task, Adam (reference hyperparameters + the documented
+    full-batch step compensation) must reach a LOWER loss than plain
+    GD in the same number of epochs, still hit >=0.9 accuracy, and stay
+    bit-deterministic across runs."""
+    import random
+
+    import numpy as np
+
+    from semanticrelationextractionpolish_spark.operators.model_score import (
+        train_model,
+    )
+
+    L = 16
+    rng = random.Random(3)
+    rows = []
+    for i in range(240):
+        cls = "rel_a" if i % 2 == 0 else "rel_b"
+        ids = [101] + [rng.randrange(5, 5000) for _ in range(6)] + [0] * (L - 7)
+        ids[1] = 111 if cls == "rel_a" else 222
+        att = [1 if x != 0 else 0 for x in ids]
+        e1 = [0] * L
+        e1[1] = 1
+        e2 = [0] * L
+        e2[4] = 1
+        rows.append((f"u{i}", 0, "e1", "e2", ids, att, e1, e2, cls))
+    schema = (
+        "url string, sent_idx int, e1_id string, e2_id string, "
+        "input_ids array<int>, attention_mask array<int>, "
+        "e1_mask array<int>, e2_mask array<int>, gold_class string"
+    )
+    mi = spark.createDataFrame(rows, schema).localCheckpoint(eager=True)
+
+    gd_model, gd_hist = train_model(
+        mi, ["rel_a", "rel_b"], num_epochs=12, lr=0.5, optimizer="gd"
+    )
+    # adam_lr=0.02 (not the 5e-4 config default): the stand-in's
+    # randn-initialized head starts at loss ~8.8, so O(1) total weight
+    # movement is needed - the step budget 12 epochs of 5e-4 cannot
+    # supply. The reference default stays the config-surface default;
+    # this test pins the optimizer DYNAMICS: measured losses
+    # gd0.5 [8.8, 2.0, 1.1, ..., 0.017] vs adam0.02 [8.8, 2.1, 2.5,
+    # 1.4, 0.12, 0.001, 0.0...] - Adam converges past GD by epoch 6.
+    adam_model, adam_hist = train_model(
+        mi, ["rel_a", "rel_b"], num_epochs=12, optimizer="adam", adam_lr=0.02
+    )
+    assert adam_hist[-1]["loss"] < gd_hist[-1]["loss"], (
+        adam_hist[-1],
+        gd_hist[-1],
+    )
+    assert adam_hist[-1]["accuracy"] >= 0.9, adam_hist
+    adam_model2, _ = train_model(
+        mi, ["rel_a", "rel_b"], num_epochs=12, optimizer="adam", adam_lr=0.02
+    )
+    assert np.array_equal(adam_model.w, adam_model2.w)

@@ -57,6 +57,13 @@ def main():
 
     spark = get_spark(app_name="correctness", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SEMREX_CHECKPOINT_DIR"):
+        # durable-barrier mode: every hot-path barrier becomes a
+        # _SUCCESS-gated parquet checkpoint (round-3 verdict #7: run the
+        # whole query surface in production mode, not just unit tests)
+        spark.conf.set(
+            "spark.semrex.checkpointDir", os.environ["SEMREX_CHECKPOINT_DIR"]
+        )
 
     con = duckdb.connect()
     for t in TABLES:

@@ -81,27 +81,49 @@ def _write_single(df, out):
     shutil.rmtree(tmp_dir)
 
 
+def freeze_pages(spark, tag: str, n_pages: int):
+    """Freeze the deterministic synthetic page corpus itself (needed
+    before pairs/triples can be derived for a new tag)."""
+    from semanticrelationextractionpolish_spark.sources.synth import synth_pages
+
+    pages, rels = synth_pages(spark, n_pages)
+    out_p = os.path.join(FIXTURES, f"pages_{tag}.parquet")
+    out_r = os.path.join(FIXTURES, f"page_relations_{tag}.parquet")
+    if not os.path.exists(out_p):
+        _write_single(pages.orderBy("url"), out_p)
+        print(f"wrote {out_p}: {spark.read.parquet(out_p).count()} rows")
+    if not os.path.exists(out_r):
+        _write_single(rels.orderBy("url", "e1_id", "e2_id", "rel_class"), out_r)
+        print(f"wrote {out_r}: {spark.read.parquet(out_r).count()} rows")
+
+
 def main():
     from semanticrelationextractionpolish_spark.session import get_spark
 
+    tags = sys.argv[1:] or ["sf0.01"]
     spark = get_spark(app_name="freeze-fixtures", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     # single files (match the pages fixtures; DuckDB read_parquet needs
     # no glob)
-    out = os.path.join(FIXTURES, "pairs_sf0.01.parquet")
-    _write_single(
-        build_pairs_projection(spark).orderBy("url", "sent_idx", "e1_id", "e2_id"),
-        out,
-    )
-    print(f"wrote {out}: {spark.read.parquet(out).count()} rows")
-    out_t = os.path.join(FIXTURES, "triples_sf0.01.parquet")
-    _write_single(
-        build_triples_projection(spark).orderBy(
-            "url", "sent_idx", "subj_id", "obj_id", "pred"
-        ),
-        out_t,
-    )
-    print(f"wrote {out_t}: {spark.read.parquet(out_t).count()} rows")
+    for tag in tags:
+        if tag == "sf0.1":
+            freeze_pages(spark, tag, 50000)
+        out = os.path.join(FIXTURES, f"pairs_{tag}.parquet")
+        _write_single(
+            build_pairs_projection(spark, tag).orderBy(
+                "url", "sent_idx", "e1_id", "e2_id"
+            ),
+            out,
+        )
+        print(f"wrote {out}: {spark.read.parquet(out).count()} rows")
+        out_t = os.path.join(FIXTURES, f"triples_{tag}.parquet")
+        _write_single(
+            build_triples_projection(spark, tag).orderBy(
+                "url", "sent_idx", "subj_id", "obj_id", "pred"
+            ),
+            out_t,
+        )
+        print(f"wrote {out_t}: {spark.read.parquet(out_t).count()} rows")
 
 
 if __name__ == "__main__":
