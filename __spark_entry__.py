@@ -187,6 +187,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kbp37_rev_normalize"] = q_kbp37_rev_normalize
 
+    def q_suffix_nam_filter(spark, sf):  # F3: the `_nam` class predicate
+        # (sources/kpwr.py:36 keeps only proper-name classes by suffix);
+        # same Column predicate over a derived entity-class label
+        ev = _t(spark, sf, "events")
+        label = F.concat(
+            F.col("event_type"),
+            F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit("_nam")).otherwise(
+                F.lit("_osb")
+            ),
+        )
+        return (
+            ev.select(label.alias("entity_class"))
+            .where(F.col("entity_class").endswith("_nam"))
+            .groupBy("entity_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    q["suffix_nam_filter"] = q_suffix_nam_filter
+
+    def q_distinct_ids_per_sentence(spark, sf):  # A3 (segment.py:28 shape)
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            F.size(F.array_distinct(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_distinct_tokens"),
+        )
+
+    q["distinct_ids_per_sentence"] = q_distinct_ids_per_sentence
+
+    def q_map_inversion(spark, sf):  # X10 (vocab map inversion, vocab.py)
+        ev = _t(spark, sf, "events").select("event_type").distinct()
+        w = Window.orderBy("event_type")
+        vocab = ev.withColumn("id", F.row_number().over(w) - 1)
+        # build the label->id map, invert it with map functions (the
+        # operator under test), explode back to rows
+        m = vocab.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "id"))
+            ).alias("m")
+        )
+        inv = m.select(
+            F.map_from_entries(
+                F.transform(
+                    F.map_entries("m"),
+                    lambda e: F.struct(
+                        e["value"].alias("k"), e["key"].alias("v")
+                    ),
+                )
+            ).alias("inv")
+        )
+        return inv.select(F.explode("inv").alias("id", "label")).select(
+            F.col("id").cast("long").alias("id"), "label"
+        )
+
+    q["map_inversion"] = q_map_inversion
+
+    def q_one_hot(spark, sf):  # A10: one-hot encode + elementwise sum
+        ev = _t(spark, sf, "events")
+        types = [
+            r[0]
+            for r in ev.select("event_type").distinct().orderBy("event_type").collect()
+        ]  # label vocabulary: tiny, driver-side like the labels map
+        idx = F.array_position(
+            F.array(*[F.lit(t) for t in types]), F.col("event_type")
+        )
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(len(types))),
+            lambda i: F.when(i == idx, 1).otherwise(0),
+        )
+        return (
+            ev.select(F.posexplode(vec).alias("pos", "bit"))
+            .groupBy("pos")
+            .agg(F.sum("bit").cast("long").alias("n"))
+            .select(F.col("pos").cast("long").alias("pos"), "n")
+        )
+
+    q["one_hot"] = q_one_hot
+
     # --- joins (J*) --------------------------------------------------------
 
     def q_broadcast_dim_join(spark, sf):  # J1: star join, dims broadcast
@@ -706,6 +785,40 @@ def oracle_sql() -> dict[str, str]:
                       ELSE event_type || '_rev' END AS rel
           FROM events
         ) GROUP BY rel
+    """
+
+    o["suffix_nam_filter"] = """
+        SELECT entity_class, count(*)::BIGINT AS n FROM (
+          SELECT event_type || CASE WHEN event_id % 3 = 0
+                                    THEN '_nam' ELSE '_osb' END AS entity_class
+          FROM events
+        )
+        WHERE right(entity_class, 4) = '_nam'
+        GROUP BY entity_class
+    """
+
+    o["distinct_ids_per_sentence"] = """
+        SELECT doc_id,
+               len(list_distinct(string_split(text, ' ')))::BIGINT
+                 AS n_distinct_tokens
+        FROM documents
+    """
+
+    o["map_inversion"] = """
+        SELECT (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS id,
+               event_type AS label
+        FROM (SELECT DISTINCT event_type FROM events)
+    """
+
+    o["one_hot"] = """
+        WITH types AS (
+          SELECT event_type,
+                 (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS pos
+          FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT t.pos, count(e.event_id)::BIGINT AS n
+        FROM types t LEFT JOIN events e ON e.event_type = t.event_type
+        GROUP BY t.pos
     """
 
     o["broadcast_dim_join"] = """

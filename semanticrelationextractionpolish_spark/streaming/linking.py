@@ -63,6 +63,7 @@ from .state import VersionedState
 
 LEMMAS_SCHEMA = "batch_id long, lemma string, n_mentions long, surfaces array<string>"
 SIGS_SCHEMA = "lemma string, shingles array<string>, sigs array<int>"
+BANDS_SCHEMA = "lemma string, band_idx int, band_hash int"
 EDGES_SCHEMA = "a string, b string"
 ASSIGN_SCHEMA = "lemma string, node_id long, canonical string"
 
@@ -96,8 +97,11 @@ def merge_mentions_batch(
         batch_id,
     )
 
-    # signatures/bands for lemmas the state has never seen
-    old_sigs = store.read("sigs", SIGS_SCHEMA)
+    # signatures/bands for lemmas the state has never seen. The read
+    # EXCLUDES this batch's own committed segment (if any): a replayed
+    # batch must re-derive its original "new lemmas" delta, not an empty
+    # one that would clobber the good segment (state.py read docstring)
+    old_sigs = store.read("sigs", SIGS_SCHEMA, exclude_batch=int(batch_id))
     new_lemmas = batch_agg.select("lemma").join(
         old_sigs.select("lemma"), "lemma", "left_anti"
     )
@@ -109,13 +113,21 @@ def merge_mentions_batch(
     store.append_batch("sigs", new_sigs.select("lemma", "shingles", "sigs"), batch_id)
     all_sigs = old_sigs.unionByName(new_sigs)
 
-    # incremental LSH probe: NEW band rows vs the full band index
-    # (recomputing band rows from the sig state is a cheap codegen map
-    # over entity-scale rows; at larger scale the band index itself
-    # becomes one more appended state table)
-    new_bands = _band_rows(new_sigs, "lemma")
-    all_bands = _band_rows(all_sigs, "lemma").localCheckpoint(eager=True)
-    sizes = all_bands.groupBy("band_idx", "band_hash").agg(
+    # incremental LSH probe: NEW band rows vs the STORED band index.
+    # The band index is itself an appended state table (the round-3
+    # version re-derived every historical lemma's bands from the sig
+    # state each batch - an O(total entities) minhash recompute that
+    # grew with the stream); bucket-size gating reads only the buckets
+    # this batch's bands touch, so probe cost follows batch size x
+    # bucket occupancy, not history size.
+    new_bands = _band_rows(new_sigs, "lemma").localCheckpoint(eager=True)
+    store.append_batch("bands", new_bands, batch_id)
+    all_bands = store.read("bands", BANDS_SCHEMA)  # staged view incl. this batch
+    touched = all_bands.join(
+        new_bands.select("band_idx", "band_hash").dropDuplicates(),
+        ["band_idx", "band_hash"],
+    ).localCheckpoint(eager=True)
+    sizes = touched.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("bsz")
     )
     probe = new_bands.join(
@@ -124,7 +136,7 @@ def merge_mentions_batch(
     cand = (
         probe.select("band_idx", "band_hash", F.col("lemma").alias("x"))
         .join(
-            all_bands.select("band_idx", "band_hash", F.col("lemma").alias("y")),
+            touched.select("band_idx", "band_hash", F.col("lemma").alias("y")),
             ["band_idx", "band_hash"],
         )
         .where(F.col("x") != F.col("y"))

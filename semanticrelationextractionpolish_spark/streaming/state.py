@@ -87,11 +87,23 @@ class VersionedState:
         return segs + staged
 
     # -- reads -------------------------------------------------------------
-    def read(self, table: str, schema: str) -> DataFrame:
+    def read(
+        self, table: str, schema: str, exclude_batch: int | None = None
+    ) -> DataFrame:
         """Committed-plus-staged view of a table (the staged part makes
         mid-batch reads see earlier writes of the SAME batch; before any
-        staging this is exactly the last committed snapshot)."""
+        staging this is exactly the last committed snapshot).
+
+        ``exclude_batch``: drop that batch's own segment from the view.
+        REQUIRED whenever the segment a batch is about to (re)write is
+        derived from this read (e.g. "lemmas never seen before"):
+        replaying an already-committed batch would otherwise see its own
+        output, derive an EMPTY delta, and replace the good segment with
+        an empty one - excluding it makes the replay recompute exactly
+        the original segment."""
         segs = self.segments(table)
+        if exclude_batch is not None:
+            segs = [s for s in segs if s["batch_id"] != exclude_batch]
         if not segs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(

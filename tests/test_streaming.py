@@ -328,6 +328,15 @@ def test_incremental_merge_replay_idempotent(spark, tmp_path):
     a1 = sorted(map(tuple, merge_mentions_batch(spark, m, state, batch_id=0).collect()))
     a2 = sorted(map(tuple, merge_mentions_batch(spark, m, state, batch_id=0).collect()))
     assert a1 == a2
+    # the replay must also leave the DERIVED state intact: its "new
+    # lemmas" delta is recomputed against the state EXCLUDING its own
+    # segment, so the sig/band segments keep their original content
+    # (an empty replacement would silently stop future batches from
+    # ever matching these lemmas)
+    sigs = read_state_table(spark, state, "sigs")
+    assert {r["lemma"] for r in sigs.collect()} == {"warszaw", "warszawi"}
+    bands = read_state_table(spark, state, "bands")
+    assert bands.where("lemma = 'warszaw'").count() > 0
     lemmas = read_state_table(spark, state, "lemmas")
     counts = {r["lemma"]: r["n"] for r in
               lemmas.groupBy("lemma").agg(F.sum("n_mentions").alias("n")).collect()}
