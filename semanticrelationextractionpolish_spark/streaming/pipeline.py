@@ -113,3 +113,101 @@ def join_pages_with_annotations(
         F.col("a.e2_id").alias("e2_id"),
         F.col("a.rel_class").alias("rel_class"),
     )
+
+
+def stream_kg(
+    spark: SparkSession,
+    input_dir: str,
+    relations_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    available_now: bool = True,
+):
+    """Full continuous KG construction - the north-rule pipeline in
+    streaming form. Every micro-batch of new pages:
+
+    1. runs the batch extraction stages (segment -> pairs -> score) and
+       writes its triples to a ``batch_id=N`` partition directory with
+       ``mode("overwrite")`` - replay after a crash rewrites the SAME
+       partition instead of appending duplicates (plain append +
+       foreachBatch is only at-least-once);
+    2. merges the batch's mentions into the rolling canonicalization
+       state (``merge_mentions_batch``: crash-atomic VersionedState +
+       incremental component merge), so entity canonicalization stays
+       current without re-linking history.
+
+    ``streamed_graph`` assembles the canonical (nodes, edges) view from
+    the triples sink + the assignment state; equality with batch
+    ``build_kg(link=True)`` over the same pages is pinned by
+    ``tests/test_streaming.py::test_stream_kg_matches_batch_graph``.
+    """
+    from ..operators.mentions import mentions_from_sentences
+    from ..operators.pairs import generate_pairs
+    from ..operators.score import score_pairs, triples_from_scored
+    from ..operators.segment import segment_and_tag
+    from .linking import merge_mentions_batch
+
+    static_rels = spark.read.parquet(relations_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        pl = batch_df.where(F.col("lang") == "pl")
+        if pl.isEmpty():
+            return
+        sents = segment_and_tag(pl).localCheckpoint(eager=True)
+        pairs = generate_pairs(sents, static_rels)
+        triples = triples_from_scored(score_pairs(pairs))
+        triples.write.mode("overwrite").parquet(
+            os.path.join(output_dir, "triples", f"batch_id={batch_id}")
+        )
+        merge_mentions_batch(
+            spark, mentions_from_sentences(sents), state_dir, batch_id=batch_id
+        )
+
+    stream = read_page_stream(spark, input_dir)
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streamed_graph(spark: SparkSession, output_dir: str, state_dir: str) -> dict:
+    """Assemble the canonical graph from a ``stream_kg`` run: triples
+    from the partitioned sink, assignments/nodes from the rolling state,
+    edges via the same broadcast joins as the batch ``link_kg``."""
+    from ..operators.linking import edges_from_triples
+    from .state import read_state_table
+
+    triples = spark.read.parquet(os.path.join(output_dir, "triples"))
+    assignments = read_state_table(spark, state_dir, "assignments")
+    lemma_stats = (
+        read_state_table(spark, state_dir, "lemmas")
+        .groupBy("lemma")
+        .agg(
+            F.sum("n_mentions").alias("n_mentions"),
+            F.array_distinct(F.flatten(F.collect_list("surfaces"))).alias(
+                "surfaces"
+            ),
+        )
+    )
+    nodes = (
+        assignments.join(lemma_stats, "lemma")
+        .groupBy("canonical")
+        .agg(
+            F.sum("n_mentions").alias("n_mentions"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("surfaces")))
+            ).alias("surfaces"),
+        )
+        .withColumn("node_id", F.xxhash64("canonical"))
+        .select("node_id", "canonical", "surfaces", "n_mentions")
+    )
+    edges = edges_from_triples(triples, assignments)
+    return {
+        "triples": triples,
+        "assignments": assignments,
+        "nodes": nodes,
+        "edges": edges,
+    }

@@ -432,3 +432,57 @@ def test_versioned_state_crash_mid_write_recovers_previous_state(
     # name (same commit counter + batch id) and its mode("overwrite")
     # clobbers whatever the crashed attempt left there
     assert not _os.path.exists(_os.path.join(garbage, "part-00000.parquet"))
+
+
+def test_stream_kg_matches_batch_graph(spark, tmp_path):
+    """The full streaming KG mode: after the page stream drains (3
+    micro-batches through stream_kg = per-batch triple extraction +
+    rolling canonicalization), the assembled canonical graph (nodes AND
+    edges, with evidence counts) equals batch build_kg(link=True) over
+    the same pages. Also proves triple idempotence: the per-batch
+    partition overwrite means no duplicate evidence even though
+    foreachBatch is at-least-once."""
+    from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
+    from semanticrelationextractionpolish_spark.streaming.pipeline import (
+        stream_kg,
+        streamed_graph,
+    )
+
+    pages, rels = synth_pages(spark, 40)
+    in_dir = str(tmp_path / "pages_in")
+    rels_path = str(tmp_path / "rels")
+    pages.repartition(3).write.parquet(in_dir)
+    rels.write.parquet(rels_path)
+
+    q = stream_kg(
+        spark,
+        in_dir,
+        rels_path,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        str(tmp_path / "state"),
+    )
+    q.awaitTermination(300)
+    got = streamed_graph(spark, str(tmp_path / "out"), str(tmp_path / "state"))
+
+    stages = build_kg(
+        spark, spark.read.parquet(in_dir), spark.read.parquet(rels_path)
+    )
+    want_edges = {
+        (r["src"], r["dst"], r["pred"], r["n_evidence"])
+        for r in stages["edges"].collect()
+    }
+    got_edges = {
+        (r["src"], r["dst"], r["pred"], r["n_evidence"])
+        for r in got["edges"].collect()
+    }
+    assert got_edges == want_edges and got_edges
+    want_nodes = {
+        (r["node_id"], r["canonical"], tuple(r["surfaces"]), r["n_mentions"])
+        for r in stages["nodes"].collect()
+    }
+    got_nodes = {
+        (r["node_id"], r["canonical"], tuple(r["surfaces"]), r["n_mentions"])
+        for r in got["nodes"].collect()
+    }
+    assert got_nodes == want_nodes
