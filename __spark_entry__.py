@@ -598,6 +598,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = q_media_features
 
+    def q_media_frames(spark, sf):
+        # frame-sample plumbing: pure Column algebra (sequence +
+        # posexplode + binary substr); frame lengths are derivable from
+        # octet_length arithmetic, so the query verifies exact without
+        # DuckDB ever touching blob bytes
+        docs = _t(spark, sf, "documents")
+        frames = MM.sample_frames(MM.synth_media(docs), frame_bytes=64, every_n=2)
+        return frames.select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.length("frame").cast("long").alias("frame_len"),
+        )
+
+    q["media_frames"] = q_media_frames
+
     def q_subword_counts(spark, sf):  # W2: fixed-stride subword split
         docs = _t(spark, sf, "documents")
         toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -1052,6 +1067,17 @@ def oracle_sql() -> dict[str, str]:
                CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
                                WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type
         FROM documents
+    """
+
+    o["media_frames"] = """
+        WITH t AS (
+          SELECT doc_id, 3 + octet_length(encode(text)) AS total FROM documents
+        )
+        SELECT doc_id,
+               unnest(range(0, (total + 63) // 64, 2))::BIGINT AS frame_idx,
+               least(64, total - unnest(range(0, (total + 63) // 64, 2)) * 64)::BIGINT
+                 AS frame_len
+        FROM t
     """
 
     # --- KG stages over the committed page fixture -------------------------

@@ -341,10 +341,23 @@ def canonicalize(mentions: DataFrame, jaccard: float = DEFAULT_JACCARD):
     return node_assignments, nodes
 
 
-def edges_from_triples(triples: DataFrame, node_assignments: DataFrame) -> DataFrame:
+def edges_from_triples(
+    triples: DataFrame,
+    node_assignments: DataFrame,
+    broadcast_dim: bool = True,
+) -> DataFrame:
     """triples (subj/obj lemmas) -> aggregated edges over canonical nodes.
-    Two broadcast-able joins against the assignment dim + one groupBy."""
-    na = F.broadcast(node_assignments.select("lemma", "node_id"))
+    Two joins against the assignment dim + one groupBy.
+
+    ``broadcast_dim``: the assignment table is entity-scale (orders of
+    magnitude smaller than the triples fact side), so broadcasting it is
+    right up to a few hundred MB of executor memory. At 10^12-document
+    scale the entity dim itself can outgrow a broadcast - pass False to
+    drop the hint and let AQE pick the strategy (shuffle join with the
+    fact side partitioned on the lemma key; pre-bucketing both sides on
+    lemma via ``materialize.write_bucketed`` removes even that shuffle)."""
+    dim = node_assignments.select("lemma", "node_id")
+    na = F.broadcast(dim) if broadcast_dim else dim
     return (
         triples.join(na.withColumnRenamed("lemma", "subj").withColumnRenamed("node_id", "src"), "subj")
         .join(na.withColumnRenamed("lemma", "obj").withColumnRenamed("node_id", "dst"), "obj")

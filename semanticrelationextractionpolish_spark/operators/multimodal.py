@@ -107,6 +107,95 @@ def extract_media_features(
     return df.select("doc_id", blob_col).mapInPandas(kernel, schema=MEDIA_FEATURES)
 
 
+def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
+    """STUB (same contract as ``decode_media``): real decode needs
+    PIL/ffmpeg. With ``fake=True`` returns a deterministic pseudo-image:
+    an (h, w) uint8 array whose shape and content derive from the
+    payload - stable across executors/retries."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL; run with fake=True for the "
+            "deterministic test double"
+        )
+    h = 8 + (len(blob) % 8)
+    w = 8 + (zlib.crc32(blob) % 8)
+    rng = np.random.RandomState(zlib.crc32(blob) & 0x7FFFFFFF)
+    return (rng.rand(h, w) * 255).astype(np.uint8)
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_h", T.IntegerType(), True),
+        T.StructField("src_w", T.IntegerType(), True),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    out_h: int = 4,
+    out_w: int = 4,
+    blob_col: str = "blob",
+    fake: bool = True,
+) -> DataFrame:
+    """Nearest-neighbor resize to (out_h, out_w) as an Arrow-batched
+    kernel. The RESIZE math (integer index grid + fancy-indexed gather)
+    is real numpy and production-shaped; only the decode underneath is
+    the documented stub."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            out = {"doc_id": [], "src_h": [], "src_w": [], "pixels": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
+                if b is None:
+                    continue
+                img = decode_image(b, fake=fake)
+                ys = np.arange(out_h) * img.shape[0] // out_h
+                xs = np.arange(out_w) * img.shape[1] // out_w
+                small = img[ys][:, xs]
+                out["doc_id"].append(doc_id)
+                out["src_h"].append(img.shape[0])
+                out["src_w"].append(img.shape[1])
+                out["pixels"].append([int(v) for v in small.ravel()])
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select("doc_id", blob_col).mapInPandas(kernel, schema=RESIZED)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every_n: int = 4,
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Fixed-stride frame sampling over a video-like binary payload:
+    split the blob into ``frame_bytes`` chunks, keep every
+    ``every_n``-th. ENTIRELY JVM-side Column algebra (sequence +
+    posexplode + binary substr) - zero Python in the plan; parsing a
+    real container's frame boundaries would need ffmpeg (the documented
+    decode stub), but stride sampling is how the engine bounds work per
+    video regardless of codec. -> (doc_id, frame_idx, frame binary)."""
+    blob = F.col(blob_col)
+    n_frames = F.ceil(F.length(blob) / F.lit(frame_bytes)).cast("int")
+    idxs = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+    )
+    return (
+        df.select("doc_id", blob, F.explode(idxs).alias("frame_idx"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            blob.substr(
+                F.col("frame_idx") * frame_bytes + 1, F.lit(frame_bytes)
+            ).alias("frame"),
+        )
+    )
+
+
 def synth_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic binary payloads derived from text (test fixture for
     the multimodal plumbing): documents -> (doc_id, blob binary)."""

@@ -243,3 +243,43 @@ def test_ann_multiprobe_recall_at_bounded_candidates(spark):
     assert multi["mean_recall"] >= 0.9, multi
     assert multi["mean_recall"] > single["mean_recall"]
     assert multi["avg_candidates"] <= 5 * single["avg_candidates"]
+
+
+def test_resize_and_frame_sampling_plumbing(spark):
+    """Multimodal resize + frame-sample plumbing (engine additions the
+    brief lists next to decode/feature-extract): resize produces exactly
+    out_h x out_w pixels per doc deterministically; frame sampling is
+    pure Column algebra whose chunk count/lengths follow from the
+    payload length."""
+    from semanticrelationextractionpolish_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ala ma kota" * 20), (2, "x"), (3, "zupelnie inny tekst" * 9)],
+        "doc_id long, text string",
+    )
+    media = synth_media(docs).localCheckpoint(eager=True)
+
+    r1 = {r["doc_id"]: r for r in resize_media(media, 4, 4).collect()}
+    r2 = {r["doc_id"]: r for r in resize_media(media, 4, 4).collect()}
+    assert set(r1) == {1, 2, 3}
+    for d in r1:
+        assert len(r1[d]["pixels"]) == 16
+        assert r1[d]["pixels"] == r2[d]["pixels"]  # deterministic
+        assert all(0 <= p <= 255 for p in r1[d]["pixels"])
+
+    frames = sample_frames(media, frame_bytes=16, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    blob_lens = {r["doc_id"]: len(r["blob"]) for r in media.collect()}
+    for d, rows in by_doc.items():
+        total = blob_lens[d]
+        n_frames = -(-total // 16)
+        want_idxs = list(range(0, max(n_frames - 1, 0) + 1, 2))
+        assert sorted(r["frame_idx"] for r in rows) == want_idxs
+        for r in rows:
+            assert len(r["frame"]) == min(16, total - r["frame_idx"] * 16)
