@@ -60,3 +60,25 @@ def test_minhash_bands_are_skinny(spark):
     df = spark.createDataFrame([("warszawa",), ("krakow",)], "lemma string")
     banded = add_minhash_bands(df, "lemma")
     assert set(banded.columns) == {"lemma", "band_idx", "band_hash"}
+
+
+def test_ann_single_probe_plan_has_no_generate(spark):
+    """The round-4 A/B caught a +45% ann_topk regression when the
+    multi-probe rewrite put a probe-array Generate on the single-probe
+    query side; the n_probe=1 fast path (shared bucket column, no
+    explode, one broadcast join) is pinned here."""
+    from semanticrelationextractionpolish_spark.operators.similarity import (
+        ann_topk,
+        planted_embeddings,
+    )
+
+    emb = planted_embeddings(spark, n_base=50, n_queries=5, n_neighbors=2)
+    single = ann_topk(emb, query_ids=[0, 1], k=3, n_probe=1)
+    plan1 = _plan(single)
+    assert "Generate" not in plan1, plan1
+    assert "BroadcastHashJoin" in plan1
+    # multi-probe: exactly one Generate, and ONLY on the tiny query side
+    multi = ann_topk(emb, query_ids=[0, 1], k=3, n_probe=4)
+    plan4 = _plan(multi)
+    assert plan4.count("Generate") == 1, plan4
+    assert "BroadcastHashJoin" in plan4
