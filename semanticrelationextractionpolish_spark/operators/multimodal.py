@@ -146,7 +146,6 @@ def resize_media(
     the documented stub."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None
         for pdf in batches:
             out = {"doc_id": [], "src_h": [], "src_w": [], "pixels": []}
             for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):

@@ -690,15 +690,21 @@ def ivf_topk(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: candidates restricted to each query's
     ``n_probe`` nearest k-means cells (candidates ~ n_probe/n_centroids
     of the corpus). The second ANN scale path besides the hyperplane
     LSH (``ann_topk``); same output schema, comparable via
-    ``ann_recall``-style joins against ``brute_force_topk``."""
-    centroids = kmeans_centroids(
-        embeddings, n_centroids, n_iter, id_col, vec_col
-    )
+    ``ann_recall``-style joins against ``brute_force_topk``.
+    Pass precomputed ``centroids`` to reuse a trained quantizer (index
+    build and query are separate stages in production - and in the
+    BENCH sweep, whose timings were double-counting the k-means until
+    round-4 review)."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, n_iter, id_col, vec_col
+        )
     index = assign_cells(embeddings, centroids, id_col, vec_col, n_probe=1)
     queries = assign_cells(
         embeddings.where(F.col(id_col).isin(query_ids)),

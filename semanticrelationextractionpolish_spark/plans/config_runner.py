@@ -492,15 +492,27 @@ def run_config(
                 .where(F.col("split") == "train")
                 .drop("split")
             )
+            if train_inputs.limit(1).isEmpty():
+                raise ValueError(
+                    "run_config: the train split is empty - every url "
+                    f"hashed into the valid ({tp.get('valid_split', 0.1)})"
+                    f"/test ({tp.get('test_split', 0.1)}) holdout. Corpora "
+                    "with very few documents need smaller holdout "
+                    "fractions (splits are assigned per url)."
+                )
             # the reference engines train with Adam(lr=5e-4)
-            # (RelacjoSzukaczLSTM.py:61); "gd" remains selectable
+            # (RelacjoSzukaczLSTM.py:61); "gd" remains selectable, and
+            # learning_rate feeds WHICHEVER optimizer is configured
+            opt = tp.get("optimizer", "adam")
+            lr_cfg = tp.get("learning_rate")
             model, history = train_model(
                 train_inputs,
                 classes,
                 num_epochs=int(tp.get("num_epochs", 12)),
                 batch_size=int(tp.get("batch_size", 32)),
-                optimizer=tp.get("optimizer", "adam"),
-                adam_lr=float(tp.get("learning_rate", 5e-4)),
+                optimizer=opt,
+                lr=float(lr_cfg) if lr_cfg is not None else 0.5,
+                adam_lr=float(lr_cfg) if lr_cfg is not None else 5e-4,
             )
             stages["model"] = model
             stages["train_history"] = history

@@ -131,18 +131,34 @@ def _load_split(f: str, start: int, length: int) -> bytes:
     """Read [start, start+length) plus just enough tail to complete the
     record straddling the split end: extend until some terminator lies
     at-or-after relative index ``length`` (with one byte of lookahead
-    after a trailing \\r, to classify \\r vs \\r\\n) or EOF."""
+    after a trailing \\r, to classify \\r vs \\r\\n) or EOF.
+
+    Extension chunks accumulate in a LIST and each chunk is scanned
+    once on arrival - a naive ``data += chunk`` + rescan-from-`length`
+    loop is O(overrun^2) when a record straddles far past the split end
+    (a multi-hundred-MB single-line file would cost hundreds of GB of
+    buffer copies per split; caught in round-4 review)."""
     with open(f, "rb") as fh:
         fh.seek(start)
-        data = fh.read(length)
+        head = fh.read(length)
+        parts = [head]
+        # a terminator at rel >= length can only live in the extension
+        # region (len(head) <= length), except a bare trailing \r whose
+        # \r\n classification needs the next byte
+        pending_cr = False
         while True:
-            t = _find_term(data, length)
-            if t >= 0 and (data[t : t + 1] == b"\n" or len(data) > t + 1):
-                return data
             chunk = fh.read(_EXTEND_CHUNK)
             if not chunk:
-                return data
-            data += chunk
+                break
+            parts.append(chunk)
+            if pending_cr:
+                break  # the lookahead byte arrived; terminator complete
+            t = _find_term(chunk, 0)
+            if t >= 0:
+                if chunk[t : t + 1] == b"\n" or t + 1 < len(chunk):
+                    break
+                pending_cr = True  # lone \r at chunk end: need one byte
+        return parts[0] if len(parts) == 1 else b"".join(parts)
 
 
 def _split_records(data: bytes) -> tuple[list[bytes], np.ndarray]:

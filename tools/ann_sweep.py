@@ -74,7 +74,14 @@ def main():
         t_assign = time.time() - t0
         t0 = time.time()
         approx = ivf_topk(
-            big, qids, k=5, n_centroids=n_cells, n_probe=n_probe, n_iter=3
+            big,
+            qids,
+            k=5,
+            n_centroids=n_cells,
+            n_probe=n_probe,
+            n_iter=3,
+            centroids=cents,  # reuse the timed quantizer: query_sec is
+            # the query stage only, not a second index build
         )
         hits = exact.join(
             approx.select("query_id", F.col("neighbor_id").alias("nid")),
