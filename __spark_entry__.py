@@ -34,7 +34,14 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _fixture_tag(sf_dir)
     path = os.path.join(FIXTURE_DIR, f"pages_{tag}.parquet")
     if os.path.exists(path):
-        return spark.read.parquet(path)
+        # fixtures are SINGLE parquet files (DuckDB-readable), which
+        # scan as one task and would serialize the whole no-shuffle
+        # extraction chain behind it (measured: kg_sentence_counts
+        # 2.5 s -> 9.4 s at sf0.1 when the frozen fixture landed);
+        # spread the scan across the session's cores first
+        return spark.read.parquet(path).repartition(
+            spark.sparkContext.defaultParallelism
+        )
     # no committed fixture for this sf: generate distributively
     from semanticrelationextractionpolish_spark.sources.synth import synth_pages
 
@@ -46,7 +53,9 @@ def _page_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _fixture_tag(sf_dir)
     path = os.path.join(FIXTURE_DIR, f"page_relations_{tag}.parquet")
     if os.path.exists(path):
-        return spark.read.parquet(path)
+        return spark.read.parquet(path).repartition(
+            spark.sparkContext.defaultParallelism
+        )
     from semanticrelationextractionpolish_spark.sources.synth import synth_pages
 
     n = {"sf0.1": 50000}.get(tag, 5000)
