@@ -383,3 +383,25 @@ def test_run_config_kpwr_precomputed_labels(spark, corpora_dir, tmp_path):
     lv2 = {r["label"]: r["label_id"] for r in s2["label_vocab"].collect()}
     assert lv2["B-sentinel_nam"] == 99  # restored, not recomputed
     assert s2["examples"].count() == s1["examples"].count()
+
+
+def test_run_config_empty_train_split_clear_error(spark, corpora_dir):
+    """When every url hashes into the holdout (tiny corpus + large
+    fractions), run_config must fail with an error naming the holdout
+    fractions - not train_model's misleading no-gold-rows message
+    (round-4 review)."""
+    cfg = {
+        "input_data": {"reader": "kpwr", "add_no_relations_clazz": True},
+        "tokenizer": {"iface": "bpemb", "entity_encoding": "iob"},
+        "engine": "bilstm",
+        "max_seq_len": 45,
+        "train_params": {"num_epochs": 1, "valid_split": 1.0, "test_split": 0.0},
+    }
+    with pytest.raises(ValueError, match="train split is empty"):
+        run_config(
+            spark,
+            cfg,
+            source_files=os.path.join(corpora_dir, "kpwr"),
+            score=False,
+            train=True,
+        )

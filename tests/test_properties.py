@@ -234,3 +234,82 @@ def test_lines_source_matches_ground_truth(
         map(tuple, lines_with_offsets(spark, str(f), split_bytes=split_bytes).collect())
     )
     assert got == sorted(expected)
+
+
+# --- VersionedState vs a pure-Python model ---------------------------------
+
+_vs_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.integers(min_value=0, max_value=3),
+            st.lists(st.integers(min_value=0, max_value=9), max_size=4),
+        ),
+        st.tuples(
+            st.just("replace"),
+            st.just(0),
+            st.lists(st.integers(min_value=0, max_value=9), max_size=4),
+        ),
+        st.tuples(st.just("commit"), st.just(0), st.just([])),
+        st.tuples(st.just("crash"), st.just(0), st.just([])),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@given(_vs_ops)
+@settings(max_examples=20, deadline=None)
+def test_versioned_state_matches_model(spark, tmp_path_factory, ops):
+    """VersionedState's read view must always equal a pure-Python model:
+    committed segments, shadowed by staged same-batch segments / pending
+    replace; a 'crash' (new store instance, staged work lost) reverts to
+    the committed view. Exercises the commit/prune/grace machinery under
+    arbitrary op interleavings, not just the linking workflow's."""
+    from semanticrelationextractionpolish_spark.streaming.state import (
+        VersionedState,
+    )
+
+    root = str(tmp_path_factory.mktemp("vstate"))
+    store = VersionedState(spark, root)
+    committed_segs: dict[object, list[int]] = {}
+    staged_segs: dict[int, list[int]] = {}
+    staged_replace: list[int] | None = None
+
+    def expected():
+        base = (
+            {"replace": staged_replace}
+            if staged_replace is not None
+            else dict(committed_segs)
+        )
+        base.update(staged_segs)  # staged batch segs shadow same-batch
+        return sorted(v for vs in base.values() for v in vs)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(int(v),) for v in rows], "v long"
+        ) if rows else spark.createDataFrame([], "v long")
+
+    for op, b, rows in ops:
+        if op == "append":
+            store.append_batch("t", mk(rows), b)
+            staged_segs[b] = rows  # re-append of a batch REPLACES it
+        elif op == "replace":
+            store.replace("t", mk(rows))
+            staged_replace = list(rows)
+            staged_segs = {}
+        elif op == "commit":
+            store.commit()
+            if staged_replace is not None:
+                committed_segs = {"replace": staged_replace}
+            committed_segs.update(staged_segs)
+            staged_segs = {}
+            staged_replace = None
+        else:  # crash: staged work lost, reopen from manifest
+            store = VersionedState(spark, root)
+            staged_segs = {}
+            staged_replace = None
+        got = sorted(
+            r["v"] for r in store.read("t", "v long").collect()
+        )
+        assert got == expected(), (op, b, rows, got, expected())
