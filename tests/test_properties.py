@@ -313,3 +313,47 @@ def test_versioned_state_matches_model(spark, tmp_path_factory, ops):
             r["v"] for r in store.read("t", "v long").collect()
         )
         assert got == expected(), (op, b, rows, got, expected())
+
+
+# --- lines source: arbitrary-bytes split invariance (no Spark) -------------
+
+_line_bytes = st.binary(max_size=60).map(
+    # sprinkle terminators densely so shrinking finds boundary cases
+    lambda b: b.replace(b"\x01", b"\r").replace(b"\x02", b"\n")
+)
+
+
+@given(data=_line_bytes, split_bytes=st.integers(min_value=1, max_value=16))
+@settings(max_examples=300, deadline=None)
+def test_split_frames_reconstruct_file_exactly(tmp_path_factory, data, split_bytes):
+    """Pure-kernel form of the TextInputFormat contract: over ARBITRARY
+    bytes (any mix of \\n, \\r\\n, lone \\r, unterminated tails) and any
+    split width, the union of per-split frames is every record exactly
+    once with its true byte offset."""
+    import re as _re
+
+    from semanticrelationextractionpolish_spark.sources.lines import (
+        _plan_splits,
+        _split_frame,
+    )
+
+    d = tmp_path_factory.mktemp("lines_hyp")
+    f = str(d / "f.bin")
+    with open(f, "wb") as fh:
+        fh.write(data)
+
+    # reference: one regex pass over the whole file
+    want = []
+    prev = 0
+    for m in _re.finditer(rb"\r\n|\r|\n", data):
+        want.append((prev, data[prev : m.start()].decode("utf-8", "replace")))
+        prev = m.end()
+    if prev < len(data):
+        want.append((prev, data[prev:].decode("utf-8", "replace")))
+
+    got = []
+    for file, start, length in _plan_splits([f], split_bytes):
+        frame = _split_frame(file, start, length)
+        if frame is not None:
+            got.extend(zip(frame["off"].tolist(), frame["value"].tolist()))
+    assert sorted(got) == sorted(want), (data, split_bytes)
