@@ -66,7 +66,7 @@ _PAGES_SQL = f"read_parquet('{FIXTURE_DIR}/pages_sf0.01.parquet')"
 _PAGE_RELS_SQL = f"read_parquet('{FIXTURE_DIR}/page_relations_sf0.01.parquet')"
 
 
-def _pages_pinned(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+def _pages_pinned(spark: SparkSession) -> DataFrame:
     """sf-PINNED input for the golden-pin queries (kg_triples,
     model_inputs, kg_gold_parity): their oracles read fixtures frozen at
     sf0.01 (tools/freeze_fixtures.py), so the Spark side must read the
@@ -87,7 +87,7 @@ def _pages_pinned(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     return spark.read.parquet(os.path.join(FIXTURE_DIR, "pages_sf0.01.parquet"))
 
 
-def _page_rels_pinned(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+def _page_rels_pinned(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(
         os.path.join(FIXTURE_DIR, "page_relations_sf0.01.parquet")
     )
@@ -637,9 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # golden-pin check: input pinned to the committed sf0.01 fixture
         # (the oracle reads pairs_sf0.01.parquet) - see _pages_pinned
-        pages = _pages_pinned(spark, sf).where(F.col("lang") == "pl")
+        pages = _pages_pinned(spark).where(F.col("lang") == "pl")
         sents = segment_and_tag(pages)
-        pairs = generate_pairs(sents, _page_rels_pinned(spark, sf))
+        pairs = generate_pairs(sents, _page_rels_pinned(spark))
         mi = prepare_model_inputs(pairs, max_seq_len=80)
         return mi.select(
             "url",
@@ -725,7 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pre-linking cols); input pinned - see _pages_pinned
         from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
 
-        stages = build_kg(spark, _pages_pinned(spark, sf), _page_rels_pinned(spark, sf))
+        stages = build_kg(spark, _pages_pinned(spark), _page_rels_pinned(spark))
         return stages["triples"].select(
             "url", "sent_idx", "subj", "pred", "obj", "subj_id", "obj_id"
         )
@@ -743,7 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
 
         stages = build_kg(
-            spark, _pages_pinned(spark, sf), _page_rels_pinned(spark, sf), link=False
+            spark, _pages_pinned(spark), _page_rels_pinned(spark), link=False
         )
         return stages["triples"].select(
             "url",

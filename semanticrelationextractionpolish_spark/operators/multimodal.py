@@ -150,6 +150,12 @@ def resize_media(
             out = {"doc_id": [], "src_h": [], "src_w": [], "pixels": []}
             for doc_id, b in zip(pdf["doc_id"], pdf[blob_col]):
                 if b is None:
+                    # same null contract as extract_media_features: one
+                    # row per input doc, NULL payload -> NULL output
+                    out["doc_id"].append(doc_id)
+                    out["src_h"].append(None)
+                    out["src_w"].append(None)
+                    out["pixels"].append(None)
                     continue
                 img = decode_image(b, fake=fake)
                 ys = np.arange(out_h) * img.shape[0] // out_h
@@ -160,7 +166,16 @@ def resize_media(
                 out["src_w"].append(img.shape[1])
                 out["pixels"].append([int(v) for v in small.ravel()])
             if out["doc_id"]:
-                yield pd.DataFrame(out)
+                # nullable Int32 dtype: a plain int column with None
+                # degrades to float64 and breaks the Arrow int cast
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out["doc_id"],
+                        "src_h": pd.array(out["src_h"], dtype="Int32"),
+                        "src_w": pd.array(out["src_w"], dtype="Int32"),
+                        "pixels": out["pixels"],
+                    }
+                )
 
     return df.select("doc_id", blob_col).mapInPandas(kernel, schema=RESIZED)
 
@@ -184,7 +199,10 @@ def sample_frames(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
     )
     return (
-        df.select("doc_id", blob, F.explode(idxs).alias("frame_idx"))
+        # empty/NULL payloads produce NO frames (greatest(.., 0) would
+        # otherwise map both to a phantom frame 0; round-4 review)
+        df.where(F.length(blob) > 0)
+        .select("doc_id", blob, F.explode(idxs).alias("frame_idx"))
         .select(
             "doc_id",
             "frame_idx",

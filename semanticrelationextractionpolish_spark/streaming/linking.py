@@ -120,6 +120,18 @@ def merge_mentions_batch(
     # grew with the stream); bucket-size gating reads only the buckets
     # this batch's bands touch, so probe cost follows batch size x
     # bucket occupancy, not history size.
+    if not store.segments("bands") and store.segments("sigs"):
+        # migration: a state_dir committed before the band-index table
+        # existed has sigs but no bands - without this backfill the
+        # probe would only ever see the current batch's own bands and
+        # new lemmas would silently stop matching history (round-4
+        # review). One-time cost = one band derivation over the sig
+        # state; batch_id -1 is reserved (foreachBatch ids are >= 0)
+        store.append_batch(
+            "bands",
+            _band_rows(old_sigs, "lemma").localCheckpoint(eager=True),
+            -1,
+        )
     new_bands = _band_rows(new_sigs, "lemma").localCheckpoint(eager=True)
     store.append_batch("bands", new_bands, batch_id)
     all_bands = store.read("bands", BANDS_SCHEMA)  # staged view incl. this batch

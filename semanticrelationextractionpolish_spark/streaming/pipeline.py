@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 from .. import schemas
 
 
-def read_page_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_page_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     return (
         spark.readStream.schema(schemas.PAGES)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -66,10 +68,12 @@ def stream_triples(
         sents = segment_and_tag(pl)
         pairs = generate_pairs(sents, static_rels)
         triples = triples_from_scored(score_pairs(pairs))
-        (
-            triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(os.path.join(output_dir, "triples"))
+        # per-batch partition + overwrite: foreachBatch is at-least-once,
+        # so a replay after a crash rewrites the SAME partition instead
+        # of appending duplicate evidence (round-4 review - the fix had
+        # landed in stream_kg but not here)
+        triples.write.mode("overwrite").parquet(
+            os.path.join(output_dir, "triples", f"batch_id={batch_id}")
         )
 
     stream = read_page_stream(spark, input_dir)
@@ -123,6 +127,7 @@ def stream_kg(
     checkpoint_dir: str,
     state_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int = 8,
 ):
     """Full continuous KG construction - the north-rule pipeline in
     streaming form. Every micro-batch of new pages:
@@ -164,7 +169,7 @@ def stream_kg(
             spark, mentions_from_sentences(sents), state_dir, batch_id=batch_id
         )
 
-    stream = read_page_stream(spark, input_dir)
+    stream = read_page_stream(spark, input_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
     )
@@ -180,7 +185,14 @@ def streamed_graph(spark: SparkSession, output_dir: str, state_dir: str) -> dict
     from ..operators.linking import edges_from_triples
     from .state import read_state_table
 
-    triples = spark.read.parquet(os.path.join(output_dir, "triples"))
+    sink = os.path.join(output_dir, "triples")
+    if not os.path.exists(sink):
+        raise FileNotFoundError(
+            f"streamed_graph: no triples sink at {sink} - the stream "
+            "processed no batches (e.g. every micro-batch was empty or "
+            "had no 'pl' pages); nothing to assemble"
+        )
+    triples = spark.read.parquet(sink)
     assignments = read_state_table(spark, state_dir, "assignments")
     lemma_stats = (
         read_state_table(spark, state_dir, "lemmas")

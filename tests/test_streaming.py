@@ -461,6 +461,8 @@ def test_stream_kg_matches_batch_graph(spark, tmp_path):
         str(tmp_path / "out"),
         str(tmp_path / "ck"),
         str(tmp_path / "state"),
+        max_files_per_trigger=1,  # 3 files -> 3 REAL micro-batches, so
+        # the cross-batch rolling state path is actually exercised
     )
     q.awaitTermination(300)
     got = streamed_graph(spark, str(tmp_path / "out"), str(tmp_path / "state"))
@@ -486,3 +488,48 @@ def test_stream_kg_matches_batch_graph(spark, tmp_path):
         for r in got["nodes"].collect()
     }
     assert got_nodes == want_nodes
+
+
+def test_bands_state_backfill_for_pre_band_state_dirs(spark, tmp_path):
+    """Migration guard (round-4 review): a state_dir committed before
+    the band-index table existed (sigs present, no bands) must backfill
+    the historical bands on the next batch - otherwise new lemmas would
+    silently never match stored ones."""
+    import json as _json
+    import shutil as _shutil
+
+    from semanticrelationextractionpolish_spark.streaming.linking import (
+        merge_mentions_batch,
+    )
+    from semanticrelationextractionpolish_spark.streaming.state import (
+        read_state_table,
+    )
+
+    schema = (
+        "url string, sent_idx int, entity_id string, entity_class string, "
+        "beg int, end int, surface string, lemma string"
+    )
+    state = str(tmp_path / "state")
+    m0 = spark.createDataFrame(
+        [("u1", 0, "e1", "city_nam", 0, 1, "Warszawa", "warszaw")], schema
+    )
+    merge_mentions_batch(spark, m0, state, batch_id=0)
+
+    # simulate a pre-band-table state dir: drop the bands table from the
+    # manifest and delete its segments
+    mpath = tmp_path / "state" / "MANIFEST.json"
+    manifest = _json.loads(mpath.read_text())
+    manifest["tables"].pop("bands")
+    mpath.write_text(_json.dumps(manifest))
+    _shutil.rmtree(tmp_path / "state" / "bands", ignore_errors=True)
+
+    # next batch brings a near-dup of the historical lemma: without the
+    # backfill its probe finds no historical bands and the pair is lost
+    m1 = spark.createDataFrame(
+        [("u2", 0, "e1", "city_nam", 0, 1, "Warszawie", "warszawi")], schema
+    )
+    assigns = merge_mentions_batch(spark, m1, state, batch_id=1)
+    canon = {r["lemma"]: r["canonical"] for r in assigns.collect()}
+    assert canon["warszaw"] == canon["warszawi"]  # merged via backfill
+    bands = read_state_table(spark, state, "bands")
+    assert bands.where("lemma = 'warszaw'").count() > 0  # backfilled
