@@ -263,6 +263,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["one_hot"] = q_one_hot
 
+    def q_label_lookup(spark, sf):  # J4: label -> id via a broadcast map
+        # (kernels look ids up in a driver-built dict shipped to
+        # executors; Column form = a create_map literal + element_at)
+        ev = _t(spark, sf, "events")
+        types = sorted(
+            r[0] for r in ev.select("event_type").distinct().collect()
+        )
+        pairs = [
+            x for i, t in enumerate(types) for x in (F.lit(t), F.lit(i))
+        ]
+        m = F.create_map(*pairs)
+        return (
+            ev.select(
+                "event_type",
+                F.element_at(m, F.col("event_type")).cast("long").alias(
+                    "label_id"
+                ),
+            )
+            .groupBy("event_type", "label_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    q["label_lookup"] = q_label_lookup
+
+    def q_label_format(spark, sf):  # X8: label formatting (upper + _)
+        docs = _t(spark, sf, "documents")
+        label = F.upper(
+            F.regexp_replace(
+                F.concat(F.col("source"), F.lit(" "), F.col("lang")), " ", "_"
+            )
+        )
+        return (
+            docs.select(label.alias("label"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    q["label_format"] = q_label_format
+
+    def q_flatten_tokens(spark, sf):  # X9: nested arrays -> flatten
+        docs = _t(spark, sf, "documents")
+        sents = F.split(F.col("text"), r"\. ")
+        nested = F.transform(sents, lambda s: F.split(s, " "))
+        return docs.select(
+            "doc_id",
+            F.size(F.flatten(nested)).cast("long").alias("n_tokens_flat"),
+            F.size(sents).cast("long").alias("n_sentences"),
+        )
+
+    q["flatten_tokens"] = q_flatten_tokens
+
     # --- joins (J*) --------------------------------------------------------
 
     def q_broadcast_dim_join(spark, sf):  # J1: star join, dims broadcast
@@ -831,6 +882,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.pos, count(e.event_id)::BIGINT AS n
         FROM types t LEFT JOIN events e ON e.event_type = t.event_type
         GROUP BY t.pos
+    """
+
+    o["label_lookup"] = """
+        WITH v AS (
+          SELECT event_type,
+                 (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS label_id
+          FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT e.event_type, v.label_id, count(*)::BIGINT AS n
+        FROM events e JOIN v USING (event_type)
+        GROUP BY e.event_type, v.label_id
+    """
+
+    o["label_format"] = """
+        SELECT upper(replace(source || ' ' || lang, ' ', '_')) AS label,
+               count(*)::BIGINT AS n
+        FROM documents GROUP BY 1
+    """
+
+    o["flatten_tokens"] = """
+        SELECT doc_id,
+               len(flatten(list_transform(string_split(text, '. '),
+                                          s -> string_split(s, ' '))))::BIGINT
+                 AS n_tokens_flat,
+               len(string_split(text, '. '))::BIGINT AS n_sentences
+        FROM documents
     """
 
     o["broadcast_dim_join"] = """
