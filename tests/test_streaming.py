@@ -533,3 +533,57 @@ def test_bands_state_backfill_for_pre_band_state_dirs(spark, tmp_path):
     assert canon["warszaw"] == canon["warszawi"]  # merged via backfill
     bands = read_state_table(spark, state, "bands")
     assert bands.where("lemma = 'warszaw'").count() > 0  # backfilled
+
+
+def test_stream_kg_under_durable_barriers(spark, tmp_path):
+    """Production mode: stream_kg with spark.semrex.checkpointDir set -
+    every hot-path barrier in the per-batch linking becomes a durable
+    _SUCCESS-gated checkpoint. The per-batch ckpt names (inc_sigs_b{N},
+    inc_cc_b{N}) must not collide across micro-batches, and the final
+    graph must still equal the batch build."""
+    from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
+    from semanticrelationextractionpolish_spark.streaming.pipeline import (
+        stream_kg,
+        streamed_graph,
+    )
+
+    pages, rels = synth_pages(spark, 30)
+    in_dir = str(tmp_path / "pages_in")
+    rels_path = str(tmp_path / "rels")
+    pages.repartition(2).write.parquet(in_dir)
+    rels.write.parquet(rels_path)
+
+    spark.conf.set("spark.semrex.checkpointDir", str(tmp_path / "barriers"))
+    try:
+        q = stream_kg(
+            spark,
+            in_dir,
+            rels_path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            str(tmp_path / "state"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        got = streamed_graph(
+            spark, str(tmp_path / "out"), str(tmp_path / "state")
+        )
+        got_edges = {
+            (r["src"], r["dst"], r["pred"], r["n_evidence"])
+            for r in got["edges"].collect()
+        }
+    finally:
+        spark.conf.unset("spark.semrex.checkpointDir")
+
+    stages = build_kg(
+        spark, spark.read.parquet(in_dir), spark.read.parquet(rels_path)
+    )
+    want_edges = {
+        (r["src"], r["dst"], r["pred"], r["n_evidence"])
+        for r in stages["edges"].collect()
+    }
+    assert got_edges == want_edges and got_edges
+    # the durable barriers really landed on disk
+    assert (tmp_path / "barriers").is_dir()
+    names = {p.name for p in (tmp_path / "barriers").iterdir()}
+    assert any(n.startswith("inc_sigs_b") for n in names), names
