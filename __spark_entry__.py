@@ -115,6 +115,33 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    # --- flagship parity gate (registered FIRST: the round-4 driver gate
+    # recorded exactly the first 50 registration-order entries and dropped
+    # the 51st, which was this query; the north-rule P/R metric must never
+    # be the one that falls off the end of a capped enumeration) ----------
+
+    def q_kg_gold_parity(spark, sf):
+        """The P/R gate as an EXACT oracle query: the pipeline's predicted
+        triples per (url, subj_id, obj_id, pred) must equal the gold
+        relations recoverable per the reference semantics. In the seed-42
+        corpus those are precisely the annotations whose mention counters
+        are consecutive (template pairs; the planted cross-sentence
+        annotations are non-consecutive and must be dropped by the
+        same-sentence containment rule, readers.py:510)."""
+        from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
+
+        stages = build_kg(
+            spark, _pages_pinned(spark), _page_rels_pinned(spark), link=False
+        )
+        return stages["triples"].select(
+            "url",
+            F.col("subj_id").alias("e1_id"),
+            F.col("obj_id").alias("e2_id"),
+            F.col("pred").alias("rel_class"),
+        )
+
+    q["kg_gold_parity"] = q_kg_gold_parity
+
     # --- scans / filters / projections (S*, F*) ----------------------------
 
     def q_lang_filter(spark, sf):  # F1
@@ -241,7 +268,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["map_inversion"] = q_map_inversion
 
-    def q_one_hot(spark, sf):  # A10: one-hot encode + elementwise sum
+    def q_label_codec(spark, sf):  # A10 one-hot + J4 label->id lookup
+        # Two kernel ops, one query (the driver gate records at most 50
+        # queries; merging these kept the surface at 50 when kg_gold_parity
+        # moved to position 1). Part 'onehot' posexplodes a transform()-built
+        # indicator vector and sums bits per position (A10); part 'lookup'
+        # resolves labels through a broadcast create_map literal, the Column
+        # form of the kernels' driver-built dict (J4). The two parts compute
+        # the same counts through DIFFERENT operators, so each still has an
+        # independent exact oracle row.
         ev = _t(spark, sf, "events")
         types = [
             r[0]
@@ -254,27 +289,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sequence(F.lit(1), F.lit(len(types))),
             lambda i: F.when(i == idx, 1).otherwise(0),
         )
-        return (
+        onehot = (
             ev.select(F.posexplode(vec).alias("pos", "bit"))
             .groupBy("pos")
             .agg(F.sum("bit").cast("long").alias("n"))
-            .select(F.col("pos").cast("long").alias("pos"), "n")
-        )
-
-    q["one_hot"] = q_one_hot
-
-    def q_label_lookup(spark, sf):  # J4: label -> id via a broadcast map
-        # (kernels look ids up in a driver-built dict shipped to
-        # executors; Column form = a create_map literal + element_at)
-        ev = _t(spark, sf, "events")
-        types = sorted(
-            r[0] for r in ev.select("event_type").distinct().collect()
+            .select(
+                F.lit("onehot").alias("part"),
+                F.lit("").alias("label"),
+                F.col("pos").cast("long").alias("id"),
+                "n",
+            )
         )
         pairs = [
             x for i, t in enumerate(types) for x in (F.lit(t), F.lit(i))
         ]
         m = F.create_map(*pairs)
-        return (
+        lookup = (
             ev.select(
                 "event_type",
                 F.element_at(m, F.col("event_type")).cast("long").alias(
@@ -283,9 +313,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .groupBy("event_type", "label_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.lit("lookup").alias("part"),
+                F.col("event_type").alias("label"),
+                F.col("label_id").alias("id"),
+                "n",
+            )
         )
+        return onehot.unionByName(lookup)
 
-    q["label_lookup"] = q_label_lookup
+    q["label_codec"] = q_label_codec
 
     def q_label_format(spark, sf):  # X8: label formatting (upper + _)
         docs = _t(spark, sf, "documents")
@@ -783,28 +820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples"] = q_kg_triples
 
-    def q_kg_gold_parity(spark, sf):
-        """The P/R gate as an EXACT oracle query: the pipeline's predicted
-        triples per (url, subj_id, obj_id, pred) must equal the gold
-        relations recoverable per the reference semantics. In the seed-42
-        corpus those are precisely the annotations whose mention counters
-        are consecutive (template pairs; the planted cross-sentence
-        annotations are non-consecutive and must be dropped by the
-        same-sentence containment rule, readers.py:510)."""
-        from semanticrelationextractionpolish_spark.plans.pipeline import build_kg
-
-        stages = build_kg(
-            spark, _pages_pinned(spark), _page_rels_pinned(spark), link=False
-        )
-        return stages["triples"].select(
-            "url",
-            F.col("subj_id").alias("e1_id"),
-            F.col("obj_id").alias("e2_id"),
-            F.col("pred").alias("rel_class"),
-        )
-
-    q["kg_gold_parity"] = q_kg_gold_parity
-
     return q
 
 
@@ -873,26 +888,19 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT event_type FROM events)
     """
 
-    o["one_hot"] = """
-        WITH types AS (
-          SELECT event_type,
-                 (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS pos
-          FROM (SELECT DISTINCT event_type FROM events)
-        )
-        SELECT t.pos, count(e.event_id)::BIGINT AS n
-        FROM types t LEFT JOIN events e ON e.event_type = t.event_type
-        GROUP BY t.pos
-    """
-
-    o["label_lookup"] = """
+    o["label_codec"] = """
         WITH v AS (
           SELECT event_type,
-                 (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS label_id
+                 (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS id
           FROM (SELECT DISTINCT event_type FROM events)
         )
-        SELECT e.event_type, v.label_id, count(*)::BIGINT AS n
+        SELECT 'onehot' AS part, '' AS label, v.id, count(e.event_id)::BIGINT AS n
+        FROM v LEFT JOIN events e ON e.event_type = v.event_type
+        GROUP BY v.id
+        UNION ALL
+        SELECT 'lookup' AS part, e.event_type AS label, v.id, count(*)::BIGINT AS n
         FROM events e JOIN v USING (event_type)
-        GROUP BY e.event_type, v.label_id
+        GROUP BY e.event_type, v.id
     """
 
     o["label_format"] = """
