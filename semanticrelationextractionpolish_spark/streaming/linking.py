@@ -110,6 +110,18 @@ def merge_mentions_batch(
     new_sigs = shingle_table(
         new_lemmas, "lemma", ckpt_name=f"inc_sigs_b{batch_id}"
     ).localCheckpoint(eager=True)
+    # snapshot the migration condition BEFORE staging this batch's sigs
+    # (round-4 advice: checking after staging made segments("sigs")
+    # non-empty on the very first batch of a brand-new state_dir, so the
+    # backfill fired and wrote a useless empty batch_id=-1 bands segment
+    # carried in the manifest forever). This batch's own segments are
+    # excluded on both sides so a replayed migrated batch neither
+    # re-backfills nor mistakes its own staged rows for history.
+    needs_band_backfill = any(
+        s["batch_id"] != int(batch_id) for s in store.segments("sigs")
+    ) and not any(
+        s["batch_id"] != int(batch_id) for s in store.segments("bands")
+    )
     store.append_batch("sigs", new_sigs.select("lemma", "shingles", "sigs"), batch_id)
     all_sigs = old_sigs.unionByName(new_sigs)
 
@@ -120,7 +132,7 @@ def merge_mentions_batch(
     # grew with the stream); bucket-size gating reads only the buckets
     # this batch's bands touch, so probe cost follows batch size x
     # bucket occupancy, not history size.
-    if not store.segments("bands") and store.segments("sigs"):
+    if needs_band_backfill:
         # migration: a state_dir committed before the band-index table
         # existed has sigs but no bands - without this backfill the
         # probe would only ever see the current batch's own bands and

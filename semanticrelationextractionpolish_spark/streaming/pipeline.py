@@ -71,10 +71,16 @@ def stream_triples(
         # per-batch partition + overwrite: foreachBatch is at-least-once,
         # so a replay after a crash rewrites the SAME partition instead
         # of appending duplicate evidence (round-4 review - the fix had
-        # landed in stream_kg but not here)
-        triples.write.mode("overwrite").parquet(
-            os.path.join(output_dir, "triples", f"batch_id={batch_id}")
-        )
+        # landed in stream_kg but not here). batch_id is ALSO written as
+        # a long column inside the files (round-4 advice): readers of a
+        # single batch_id=N directory get the column without partition
+        # discovery, and read_triples_sink() restores the exact
+        # pre-round-4 long-column contract for whole-sink reads (plain
+        # discovery reads see the partition-inferred int - partition
+        # columns take precedence over same-named file columns).
+        triples.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(output_dir, "triples", f"batch_id={batch_id}"))
 
     stream = read_page_stream(spark, input_dir)
     writer = (
@@ -84,6 +90,22 @@ def stream_triples(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_triples_sink(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Whole-sink reader for the ``triples`` sink written by
+    ``stream_triples``/``stream_kg`` with the exact long ``batch_id``
+    column contract. The sink is laid out as ``batch_id=N`` partition
+    directories (so replays can idempotently overwrite one batch), and
+    each file also carries ``batch_id`` as a long data column; a plain
+    ``spark.read.parquet(sink)`` surfaces the partition-INFERRED int
+    instead (partition columns shadow same-named file columns), so this
+    reader disables partition discovery via recursiveFileLookup and
+    takes the column from the files."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(output_dir, "triples"))
+    )
 
 
 def join_pages_with_annotations(
@@ -162,9 +184,11 @@ def stream_kg(
         sents = segment_and_tag(pl).localCheckpoint(eager=True)
         pairs = generate_pairs(sents, static_rels)
         triples = triples_from_scored(score_pairs(pairs))
-        triples.write.mode("overwrite").parquet(
-            os.path.join(output_dir, "triples", f"batch_id={batch_id}")
-        )
+        # batch_id as a long data column inside the partition files too
+        # (same reader contract as stream_triples, round-4 advice)
+        triples.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(output_dir, "triples", f"batch_id={batch_id}"))
         merge_mentions_batch(
             spark, mentions_from_sentences(sents), state_dir, batch_id=batch_id
         )

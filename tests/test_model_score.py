@@ -289,3 +289,20 @@ def test_train_model_adam_faster_and_deterministic(spark):
         mi, ["rel_a", "rel_b"], num_epochs=12, optimizer="adam", adam_lr=0.02
     )
     assert np.array_equal(adam_model.w, adam_model2.w)
+
+
+def test_adam_comp_factor_capped():
+    """Round-4 advice (medium): the full-batch Adam step compensation
+    must not grow unboundedly with dataset size — at n=1e6, B=32 the
+    raw ceil(n/B) factor is 31250x adam_lr, a guaranteed-overshoot
+    single step. The factor is capped (default 64); fixture-scale
+    behavior (n <= cap*B) is unchanged."""
+    from semanticrelationextractionpolish_spark.operators.model_score import (
+        _adam_comp_factor,
+    )
+
+    assert _adam_comp_factor(240, 32, 64) == 8  # fixture scale: uncapped
+    assert _adam_comp_factor(2048, 32, 64) == 64  # exactly at the knee
+    assert _adam_comp_factor(1_000_000, 32, 64) == 64  # corpus scale: capped
+    assert _adam_comp_factor(1, 32, 64) == 1  # floor
+    assert _adam_comp_factor(10, 32, 0) == 1  # degenerate cap floors at 1

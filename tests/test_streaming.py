@@ -9,6 +9,7 @@ from semanticrelationextractionpolish_spark.sources.synth import synth_pages
 from semanticrelationextractionpolish_spark.streaming.pipeline import (
     page_rate_by_lang,
     read_page_stream,
+    read_triples_sink,
     stream_triples,
 )
 
@@ -46,6 +47,22 @@ def test_stream_triples_matches_batch(spark, tmp_path):
         for r in got.collect()
     }
     assert have == want and len(have) > 0
+    # round-4 advice: batch_id must be a LONG data column readable both
+    # through the whole sink (read_triples_sink) and from a single
+    # batch_id=N directory — not only a discovery-inferred int
+    # partition column
+    whole = read_triples_sink(spark, out_dir)
+    assert dict(whole.dtypes)["batch_id"] == "bigint"
+    assert whole.count() == got.count()
+    assert whole.where(F.col("batch_id").isNull()).count() == 0
+    one_dir = sorted(
+        d
+        for d in os.listdir(os.path.join(out_dir, "triples"))
+        if d.startswith("batch_id=")
+    )[0]
+    single = spark.read.parquet(os.path.join(out_dir, "triples", one_dir))
+    assert dict(single.dtypes)["batch_id"] == "bigint"
+    assert single.where(F.col("batch_id").isNull()).count() == 0
 
 
 def test_stream_resume_no_duplicates(spark, tmp_path):
@@ -533,6 +550,34 @@ def test_bands_state_backfill_for_pre_band_state_dirs(spark, tmp_path):
     assert canon["warszaw"] == canon["warszawi"]  # merged via backfill
     bands = read_state_table(spark, state, "bands")
     assert bands.where("lemma = 'warszaw'").count() > 0  # backfilled
+
+
+def test_no_phantom_backfill_on_fresh_state_dir(spark, tmp_path):
+    """Round-4 advice (low): the migration condition used to be
+    evaluated AFTER this batch's sigs segment was staged, so batch 0 of
+    a brand-new state_dir saw segments("sigs") non-empty and wrote a
+    useless empty batch_id=-1 bands segment carried in the manifest
+    forever. A fresh dir's first batch must produce NO batch_id=-1
+    bands segment — and the genuine migration path must still fire
+    (covered by test_bands_state_backfill_for_pre_band_state_dirs)."""
+    import json as _json
+
+    from semanticrelationextractionpolish_spark.streaming.linking import (
+        merge_mentions_batch,
+    )
+
+    schema = (
+        "url string, sent_idx int, entity_id string, entity_class string, "
+        "beg int, end int, surface string, lemma string"
+    )
+    state = str(tmp_path / "state")
+    m0 = spark.createDataFrame(
+        [("u1", 0, "e1", "city_nam", 0, 1, "Warszawa", "warszaw")], schema
+    )
+    merge_mentions_batch(spark, m0, state, batch_id=0)
+    manifest = _json.loads((tmp_path / "state" / "MANIFEST.json").read_text())
+    band_batches = [s["batch_id"] for s in manifest["tables"]["bands"]]
+    assert band_batches == [0], band_batches  # no phantom -1 segment
 
 
 def test_stream_kg_under_durable_barriers(spark, tmp_path):
