@@ -341,11 +341,18 @@ def minhash_md5_oracle_sql(
     """
 
 
-def simhash_md5_oracle_sql(docs2_cte: str, max_hamming: int = 6) -> str:
+def simhash_md5_oracle_sql(
+    docs2_cte: str, max_hamming: int = 6, max_bucket: int | None = None
+) -> str:
     """DuckDB mirror of ``simhash_near_dup_pairs(hash_fn='md5')``:
     recomputes the 60-bit fingerprints (per-bit majority vote over
-    md5-derived token hashes), the 4x15-bit bands, and the exact
-    bit_count(xor) hamming verification."""
+    md5-derived token hashes), the 4x15-bit bands, the bucket-size cap
+    (QUALIFY over (band_idx, band_val), same as the Spark skew guard),
+    and the exact bit_count(xor) hamming verification."""
+    from .linking import MAX_BUCKET
+
+    if max_bucket is None:
+        max_bucket = MAX_BUCKET
     h = "('0x' || substr(md5(t), 1, 15))::BIGINT"
     vote_bit = (
         f"CASE WHEN coalesce(list_sum(list_transform(hashes, "
@@ -368,6 +375,7 @@ def simhash_md5_oracle_sql(docs2_cte: str, max_hamming: int = 6) -> str:
           SELECT doc_id, simhash, b AS band_idx,
                  (simhash >> (15 * b)) & 32767 AS band_val
           FROM fp, range(0, 4) t(b)
+          QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {max_bucket}
         ), cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS sim_a, b.simhash AS sim_b
@@ -429,11 +437,27 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 6,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded SimHash blocking: 4 bands of bits/4; a pair within hamming
     distance < 4 must agree on at least one band (pigeonhole); verified
     exactly with bit_count(xor). ``hash_fn="md5"`` = 60-bit fingerprints
-    recomputable by the DuckDB oracle (simhash_md5_oracle_sql)."""
+    recomputable by the DuckDB oracle (simhash_md5_oracle_sql).
+
+    Skew guard (round-4 verdict #2 — the last uncapped quadratic join):
+    band values with more than ``max_bucket`` members (default
+    linking.MAX_BUCKET) are dropped before the self-join, exactly like
+    the MinHash path above. At web scale a degenerate band value is
+    GUARANTEED — empty/boilerplate docs share fingerprint bits (an
+    all-zero simhash for empty docs is a standing hot key), and one
+    such bucket makes the candidate join quadratic. Documented recall
+    trade (same as MinHash): members of an over-full bucket can still
+    pair through their other 3 bands; a pair agreeing ONLY on a capped
+    band is missed. The DuckDB oracle mirrors the cap bit-for-bit."""
+    from .linking import MAX_BUCKET
+
+    if max_bucket is None:
+        max_bucket = MAX_BUCKET
     bits = 60 if hash_fn == "md5" else 64
     band_bits = bits // 4
     band_mask = (1 << band_bits) - 1
@@ -451,6 +475,12 @@ def simhash_near_dup_pairs(
     )
     banded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
         "doc_id", "simhash", "b.band_idx", "b.band_val"
+    )
+    sizes = banded.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    banded = banded.join(
+        sizes.where(F.col("bsz") <= max_bucket), ["band_idx", "band_val"]
     )
     a = banded.select(
         "band_idx",
