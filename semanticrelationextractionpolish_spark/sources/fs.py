@@ -1,0 +1,140 @@
+"""Pluggable filesystem seam for the byte-range line source.
+
+Round-4 verdict #4: ``lines.py`` was the one remaining reader that
+could not leave local disk - its listing (glob/listdir), sizing
+(getsize) and split reads (open/seek/read) were hard-wired POSIX calls.
+This module routes all three through a small FileSystem protocol so the
+SAME metadata-planned split reader (and its newAPIHadoopFile-parity
+semantics, pinned in tests/test_sources.py) runs against any backend.
+
+Design constraint that rules out the Hadoop FileSystem JVM gateway:
+split reads execute INSIDE ``mapInPandas`` kernels on executors, where
+there is no py4j gateway - a ``spark._jvm...FileSystem`` handle neither
+pickles nor reconstructs there. A FileSystem implementation must
+therefore be (a) pure-Python and (b) picklable; executors reconstruct
+the client lazily from the pickled descriptor.
+
+Implementations:
+
+* ``LocalFS`` - the POSIX behavior the parity tests pin (default for
+  plain paths and ``file:`` URLs).
+* ``FsspecFS`` - any fsspec-registered backend (s3/gs/hdfs/abfs/...),
+  selected automatically for ``scheme://`` paths. fsspec is the
+  standard Python-side object-store client for exactly this executor
+  shape (s3fs, gcsfs hold no live sockets across pickling - the
+  filesystem object is re-created per worker from protocol + options).
+  Import-gated: this sandbox has no fsspec, so the class raises a
+  clear error at construction and the LocalFS paths stay fully tested;
+  ``tests/test_sources.py`` proves the seam itself with an in-memory
+  fake backend instead.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+
+class LocalFS:
+    """POSIX filesystem - the default, and the parity-tested path."""
+
+    def glob(self, pattern: str) -> list[str]:
+        return sorted(_glob.glob(pattern))
+
+    def has_magic(self, path: str) -> bool:
+        return _glob.has_magic(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def listdir(self, path: str) -> list[str]:
+        # full paths, matching fsspec's ls(detail=False) contract
+        return sorted(os.path.join(path, f) for f in os.listdir(path))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def open(self, path: str):
+        return open(path, "rb")
+
+
+class FsspecFS:
+    """fsspec-backed filesystem (s3://, gs://, hdfs://, ...).
+
+    Holds only (protocol, storage_options) across pickling; the live
+    fsspec client is constructed lazily per process, so instances ship
+    cleanly into mapInPandas kernels."""
+
+    def __init__(self, protocol: str, **storage_options):
+        self.protocol = protocol
+        self.storage_options = storage_options
+        self._fs = None
+        self._client()  # fail fast on missing fsspec/driver-side creds
+
+    def _client(self):
+        if self._fs is None:
+            try:
+                import fsspec
+            except ImportError as e:  # pragma: no cover - sandbox has none
+                raise ImportError(
+                    "FsspecFS needs the 'fsspec' package (plus the "
+                    f"backend for {self.protocol!r}, e.g. s3fs/gcsfs)"
+                ) from e
+            self._fs = fsspec.filesystem(self.protocol, **self.storage_options)
+        return self._fs
+
+    def __getstate__(self):
+        return {
+            "protocol": self.protocol,
+            "storage_options": self.storage_options,
+        }
+
+    def __setstate__(self, state):
+        self.protocol = state["protocol"]
+        self.storage_options = state["storage_options"]
+        self._fs = None  # re-created lazily on the executor
+
+    def glob(self, pattern: str) -> list[str]:
+        return sorted(self._client().glob(pattern))
+
+    def has_magic(self, path: str) -> bool:
+        return _glob.has_magic(path)
+
+    def isdir(self, path: str) -> bool:
+        return self._client().isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        return self._client().isfile(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(self._client().ls(path, detail=False))
+
+    def size(self, path: str) -> int:
+        return int(self._client().size(path))
+
+    def open(self, path: str):
+        return self._client().open(path, "rb")
+
+
+def resolve_fs(path: str):
+    """Pick a FileSystem for ``path`` by scheme: plain paths and
+    ``file:`` URLs -> LocalFS; ``scheme://`` -> FsspecFS(scheme)."""
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme in ("file", "local"):
+            return LocalFS()
+        return FsspecFS(scheme)
+    return LocalFS()
+
+
+def strip_scheme(path: str) -> str:
+    """``file:`` / ``file://`` prefixes off a local path; other schemes
+    keep their full URL (fsspec expects it)."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path

@@ -43,15 +43,19 @@ split boundaries fall:
   exactly at ``end`` (which the next split's skip-first rule
   discards).
 
-Reads use plain ``open()`` - the corpus paths here are a shared local /
-POSIX filesystem. On HDFS/S3 the identical split plan executes through
-``fsspec``/the Hadoop FileSystem client; only ``_open`` changes.
+Filesystem seam (round-4 verdict #4): listing, sizing and split reads
+all route through ``sources.fs`` - ``LocalFS`` (the parity-tested
+default for plain paths / ``file:`` URLs) or any picklable FileSystem
+(``FsspecFS`` for ``s3://``/``gs://``/``hdfs://``; an in-memory fake in
+tests proves the seam). The split READ runs inside mapInPandas on
+executors, which is why the seam is pure-Python + picklable rather
+than a Hadoop FileSystem JVM-gateway handle (no py4j there). The
+TextInputFormat-exact splitter and its newAPIHadoopFile parity pins
+are backend-independent byte semantics and apply unchanged.
 """
 
 from __future__ import annotations
 
-import glob as _glob
-import os
 import re
 from typing import Iterator
 
@@ -60,6 +64,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .fs import LocalFS, resolve_fs, strip_scheme
 
 LINES_SCHEMA = T.StructType(
     [
@@ -84,31 +90,30 @@ _TERM_RE = re.compile(rb"\r\n|\r|\n")
 _EXTEND_CHUNK = 1 << 16
 
 
-def list_files(spark: SparkSession, path: str) -> list[str]:
+def list_files(spark: SparkSession, path: str, fs=None) -> list[str]:
     """Expand a path/glob/directory to concrete files - METADATA-scale
-    (glob + listdir), never a data pass. ``spark`` kept for signature
-    compatibility and the future cluster-filesystem variant."""
-    p = path[len("file:"):] if path.startswith("file:") else path
-    matches = sorted(_glob.glob(p)) if _glob.has_magic(p) else [p]
+    (glob + listdir), never a data pass. ``fs`` defaults to the
+    scheme-resolved filesystem (``LocalFS`` for plain paths)."""
+    if fs is None:
+        fs = resolve_fs(path)
+    p = strip_scheme(path)
+    matches = fs.glob(p) if fs.has_magic(p) else [p]
     out: list[str] = []
     for m in matches:
-        if os.path.isdir(m):
-            out.extend(
-                sorted(
-                    os.path.join(m, f)
-                    for f in os.listdir(m)
-                    if os.path.isfile(os.path.join(m, f))
-                )
-            )
-        elif os.path.isfile(m):
+        if fs.isdir(m):
+            out.extend(f for f in fs.listdir(m) if fs.isfile(f))
+        elif fs.isfile(m):
             out.append(m)
     return out
 
 
-def _plan_splits(files: list[str], split_bytes: int) -> list[tuple[str, int, int]]:
+def _plan_splits(
+    files: list[str], split_bytes: int, fs=None
+) -> list[tuple[str, int, int]]:
+    fs = fs or LocalFS()
     splits = []
     for f in files:
-        size = os.path.getsize(f)
+        size = fs.size(f)
         start = 0
         while start < size:
             splits.append((f, start, min(split_bytes, size - start)))
@@ -127,7 +132,7 @@ def _find_term(data: bytes, start: int) -> int:
     return min(i_n, i_r)
 
 
-def _load_split(f: str, start: int, length: int) -> bytes:
+def _load_split(f: str, start: int, length: int, fs=None) -> bytes:
     """Read [start, start+length) plus just enough tail to complete the
     record straddling the split end: extend until some terminator lies
     at-or-after relative index ``length`` (with one byte of lookahead
@@ -138,7 +143,7 @@ def _load_split(f: str, start: int, length: int) -> bytes:
     loop is O(overrun^2) when a record straddles far past the split end
     (a multi-hundred-MB single-line file would cost hundreds of GB of
     buffer copies per split; caught in round-4 review)."""
-    with open(f, "rb") as fh:
+    with (fs or LocalFS()).open(f) as fh:
         fh.seek(start)
         head = fh.read(length)
         parts = [head]
@@ -188,9 +193,9 @@ def _split_records(data: bytes) -> tuple[list[bytes], np.ndarray]:
     return parts, starts
 
 
-def _split_frame(f: str, start: int, length: int) -> pd.DataFrame | None:
+def _split_frame(f: str, start: int, length: int, fs=None) -> pd.DataFrame | None:
     """One split -> its (file, off, value) rows, TextInputFormat rules."""
-    data = _load_split(f, start, length)
+    data = _load_split(f, start, length, fs)
     parts, starts = _split_records(data)
     lo = 0
     if start > 0:
@@ -209,29 +214,43 @@ def _split_frame(f: str, start: int, length: int) -> pd.DataFrame | None:
     )
 
 
-def _read_splits_kernel(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        for r in pdf.itertuples(index=False):
-            frame = _split_frame(r.file, int(r.start), int(r.length))
-            if frame is not None:
-                yield frame
+def _make_read_splits_kernel(fs):
+    """Kernel factory closing over a PICKLABLE filesystem: executors
+    reconstruct the client from the pickled descriptor (LocalFS is
+    stateless; FsspecFS re-creates its fsspec client lazily)."""
+
+    def _read_splits_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                frame = _split_frame(r.file, int(r.start), int(r.length), fs)
+                if frame is not None:
+                    yield frame
+
+    return _read_splits_kernel
 
 
 def lines_with_offsets(
-    spark: SparkSession, path: str, split_bytes: int = DEFAULT_SPLIT_BYTES
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
+    fs=None,
 ) -> DataFrame:
     """-> (file, off, value): one row per line, ``off`` = byte offset of
     the line within its file. One job for any number of files; one Arrow
-    batch (not one Python call) per line-range."""
-    splits = _plan_splits(list_files(spark, path), split_bytes)
+    batch (not one Python call) per line-range. ``fs`` (default:
+    resolved from the path scheme) must be a picklable FileSystem from
+    ``sources.fs`` - it ships into the executor-side read kernel."""
+    if fs is None:
+        fs = resolve_fs(path)
+    splits = _plan_splits(list_files(spark, path, fs), split_bytes, fs)
     if not splits:
         return spark.createDataFrame([], LINES_SCHEMA)
     splits_df = spark.createDataFrame(
         splits, "file string, start long, length long"
     ).repartition(len(splits))
-    return splits_df.mapInPandas(_read_splits_kernel, schema=LINES_SCHEMA)
+    return splits_df.mapInPandas(_make_read_splits_kernel(fs), schema=LINES_SCHEMA)
 
 
 def bucket(col, bucket_bytes: int = DEFAULT_BUCKET_BYTES):

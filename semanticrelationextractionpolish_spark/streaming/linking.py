@@ -44,7 +44,12 @@ One documented divergence: the ``MAX_BUCKET`` skew cap applies to
 bucket sizes AS SEEN AT PROBE TIME, so a bucket that only exceeds the
 cap in a later batch keeps its earlier edges (batch mode would drop
 the whole bucket); equivalence is exact while buckets stay under the
-cap.
+cap. PINNED by ``test_stream_vs_batch_bucket_cap_divergence_pinned``
+(round-4 verdict #7), which also records why eviction-on-cross was
+rejected: star contraction only ever unions, so retracting a capped
+bucket's earlier edges would need a full CC re-solve over the
+remaining graph - the exact O(total) per-batch cost this design
+removes.
 """
 
 from __future__ import annotations
@@ -227,7 +232,24 @@ def merge_mentions_batch(
         .select("lemma", F.xxhash64("canonical").alias("node_id"), "canonical")
         .localCheckpoint(eager=True)
     )
-    store.replace("assignments", assignments)
+    # bucketed MERGE INTO stand-in (round-4 verdict #3): only buckets
+    # holding a changed assignment row are rewritten. The change set is
+    # exactly (a) lemmas first seen this batch and (b) lemmas whose
+    # component representative was relabeled by this batch's merge
+    # (comp != id); every other lemma's (canonical, node_id) is
+    # reproduced bit-for-bit by the recompute above, which is the
+    # replace_buckets correctness contract.
+    changed = new_lemmas.select("lemma").unionByName(
+        prev.join(
+            comp.where(F.col("id") != F.col("comp")).select(
+                F.col("id").alias("canonical")
+            ),
+            "canonical",
+        ).select("lemma")
+    )
+    store.replace_buckets(
+        "assignments", assignments, changed, key_col="lemma", n_buckets=32
+    )
     store.commit()  # the single atomic publish point for all four tables
     return assignments
 

@@ -33,8 +33,24 @@ Tables come in two flavors:
   after a failure is idempotent by construction. Write cost is
   O(batch), not O(accumulated state).
 * ``replace(table, df)`` - full-table rewrite (for small derived
-  tables like the assignment map; Iceberg MERGE INTO would touch only
-  changed rows - this is the documented stand-in).
+  tables; Iceberg MERGE INTO would touch only changed rows - this is
+  the documented stand-in).
+* ``replace_buckets(table, df, changed_keys, key_col, n_buckets)`` -
+  the MERGE INTO stand-in that actually scales (round-4 verdict #3):
+  the table lives as ``pmod(xxhash64(key), B)`` bucket segments and a
+  batch rewrites ONLY the buckets containing changed keys, so write
+  cost follows the batch's change set, not total state size.
+
+Stream-age growth control (round-4 verdict #3): every commit,
+append tables whose per-batch segment count (excluding the LATEST
+batch) reaches ``compact_threshold`` are compacted into one segment
+annotated with the batch ids it ``covers``. The manifest swap makes
+compaction crash-safe like any other write. The latest batch is never
+compacted because it is the only batch a ``foreachBatch`` replay can
+re-run: ``read(exclude_batch=N)`` cannot excise rows folded into a
+compacted segment, and ``append_batch`` for a covered batch is a no-op
+(the original rows are kept - identical by the store's deterministic
+replay contract).
 
 Single-writer by contract (a ``foreachBatch`` loop is serial). Readers
 inside the same process may still hold lazy plans over old segments,
@@ -50,8 +66,15 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "MANIFEST.json"
+
+# per-batch segments an append table may accumulate (beyond the latest
+# batch) before commit() folds them into one compacted segment; keeps
+# per-table segment count - and with it listing/planning cost per read -
+# bounded at ~threshold+1 regardless of stream age
+COMPACT_THRESHOLD = 8
 
 
 class VersionedState:
@@ -64,6 +87,7 @@ class VersionedState:
         #   table -> list of {"path": rel, "batch_id": int|None}
         self._pending: dict[str, list[dict]] = {}
         self._pending_replace: set[str] = set()
+        self._pending_meta: dict[str, dict] = {}
 
     # -- manifest ----------------------------------------------------------
     def _load(self) -> dict:
@@ -121,6 +145,15 @@ class VersionedState:
         return {"path": rel, "batch_id": batch_id}
 
     def append_batch(self, table: str, df: DataFrame, batch_id: int) -> None:
+        if any(
+            int(batch_id) in (s.get("covers") or [])
+            for s in self._manifest["tables"].get(table, [])
+        ):
+            # this batch's rows were folded into a compacted segment:
+            # keep them (deterministic replay re-derives identical rows;
+            # re-staging would double-append since the old rows cannot
+            # be excised from the compacted segment)
+            return
         seg = self._write_segment(table, df, int(batch_id))
         staged = [
             s
@@ -134,10 +167,128 @@ class VersionedState:
         self._pending[table] = [seg]
         self._pending_replace.add(table)
 
+    def replace_buckets(
+        self,
+        table: str,
+        df: DataFrame,
+        changed_keys: DataFrame,
+        key_col: str,
+        n_buckets: int = 32,
+    ) -> None:
+        """Bucket-partitioned replace: ``df`` is the FULL new table, but
+        only buckets (``pmod(xxhash64(key), n_buckets)``) that contain a
+        key from ``changed_keys`` are rewritten; every other bucket keeps
+        its committed segment untouched. The Iceberg MERGE INTO stand-in
+        whose write cost follows the change set, not the table size.
+
+        Correct iff unchanged-bucket rows of ``df`` equal the committed
+        rows (the caller's contract: rows outside ``changed_keys`` are
+        recomputed identically - true for the linking assignments, where
+        an untouched lemma's canonical is reproduced bit-for-bit).
+
+        A legacy unbucketed table (or one stored with a different
+        ``n_buckets``) is migrated by rewriting all buckets once."""
+        bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        committed = self.segments(table)
+        meta = self._manifest.get("meta", {}).get(table, {})
+        legacy = any("bucket" not in s for s in committed) or (
+            committed and meta.get("n_buckets") != n_buckets
+        )
+        if legacy or not committed:
+            touched = set(range(n_buckets))
+            kept: list[dict] = []
+        else:
+            touched = {
+                int(r["k"])
+                for r in changed_keys.select(bucket.alias("k")).distinct().collect()
+            }
+            kept = [s for s in committed if s["bucket"] not in touched]
+        if not touched:
+            # nothing changed: keep the committed buckets as-is (still
+            # staged as a replace so a concurrent append can't sneak in)
+            self._pending[table] = kept
+            self._pending_replace.add(table)
+            self._pending_meta[table] = {"n_buckets": n_buckets}
+            return
+        rel = os.path.join(table, f"seg-c{self.commit_no + 1}-buckets")
+        out = os.path.join(self.root, rel)
+        (
+            df.withColumn("__bucket", bucket)
+            .where(F.col("__bucket").isin(*[int(k) for k in touched]))
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        # a touched bucket with zero surviving rows writes no directory -
+        # it simply has no segment (its old one is dropped)
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("__bucket=")
+        )
+        new_segs = [
+            {
+                "path": f"{rel}/__bucket={k}",
+                "batch_id": None,
+                "bucket": k,
+            }
+            for k in written
+        ]
+        self._pending[table] = kept + new_segs
+        self._pending_replace.add(table)
+        self._pending_meta[table] = {"n_buckets": n_buckets}
+
+    # -- compaction --------------------------------------------------------
+    def _compact_table(self, table: str) -> None:
+        """Fold an append table's per-batch segments (all but the LATEST
+        batch, which foreachBatch may still replay) into one segment
+        annotated with the batch ids it covers. Runs before the manifest
+        swap, so a crash mid-compaction leaves the old state intact."""
+        segs = self.segments(table)
+        batch_ids = [s["batch_id"] for s in segs if s["batch_id"] is not None]
+        if not batch_ids:
+            return
+        latest = max(batch_ids)
+        fold = [
+            s
+            for s in segs
+            if s["batch_id"] != latest
+        ]
+        keep = [s for s in segs if s["batch_id"] == latest]
+        if len(fold) < 2:
+            return
+        covers = sorted(
+            {b for s in fold for b in (s.get("covers") or [])}
+            | {s["batch_id"] for s in fold if s["batch_id"] is not None}
+        )
+        merged = self.spark.read.parquet(
+            *[os.path.join(self.root, s["path"]) for s in fold]
+        )
+        rel = os.path.join(table, f"seg-c{self.commit_no + 1}-compact")
+        merged.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        self._pending[table] = [
+            {"path": rel, "batch_id": None, "covers": covers}
+        ] + keep
+        self._pending_replace.add(table)
+
     # -- commit ------------------------------------------------------------
-    def commit(self) -> None:
+    def commit(self, compact_threshold: int | None = COMPACT_THRESHOLD) -> None:
         """Atomically publish every staged write; then prune segments
-        unreferenced since before the PREVIOUS commit."""
+        unreferenced since before the PREVIOUS commit. Append tables
+        holding more than ``compact_threshold`` non-latest segments are
+        compacted first (pass None to disable)."""
+        if compact_threshold is not None:
+            for table in sorted(
+                set(self._manifest["tables"]) | set(self._pending)
+            ):
+                if table in self._pending_replace:
+                    continue  # replace/bucketed tables never accumulate
+                n_nonlatest = (
+                    len([s for s in self.segments(table) if s["batch_id"] is not None])
+                    - 1
+                )
+                if n_nonlatest >= compact_threshold:
+                    self._compact_table(table)
         new_tables = dict(self._manifest["tables"])
         for table in self._pending:
             new_tables[table] = self.segments(table)
@@ -147,9 +298,12 @@ class VersionedState:
             for segs in self._manifest["tables"].values()
             for s in segs
         }
+        new_meta = dict(self._manifest.get("meta", {}))
+        new_meta.update(self._pending_meta)
         new_manifest = {
             "commit": self.commit_no + 1,
             "tables": new_tables,
+            "meta": new_meta,
             # segments the outgoing manifest still referenced: keep them
             # one more commit for in-process lazy readers
             "prev_segments": sorted(prev_live - live),
@@ -170,11 +324,24 @@ class VersionedState:
                 continue
             for d in os.listdir(tdir):
                 rel = os.path.join(table, d)
-                if rel not in keep:
-                    shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+                if rel in keep:
+                    continue
+                if any(k.startswith(rel + "/") for k in keep):
+                    # bucket-partitioned segment dir, partially live:
+                    # sweep only its dead __bucket=k subdirectories
+                    for sub in os.listdir(os.path.join(self.root, rel)):
+                        srel = f"{rel}/{sub}"
+                        if sub.startswith("__bucket=") and srel not in keep:
+                            shutil.rmtree(
+                                os.path.join(self.root, srel),
+                                ignore_errors=True,
+                            )
+                    continue
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
         self._manifest = new_manifest
         self._pending = {}
         self._pending_replace = set()
+        self._pending_meta = {}
 
 
 def read_state_table(

@@ -369,3 +369,102 @@ def test_lines_source_matches_hadoop_textinputformat(spark, tmp_path):
                 ).collect()
             )
             assert got == want, f"case {i} ({data!r}) split_bytes={sb}"
+
+
+def test_lines_source_filesystem_seam(spark, tmp_path):
+    """lines_with_offsets over an injected in-memory filesystem: same
+    rows (file, off, value) as the POSIX path over identical bytes, at
+    pathological split widths too (round-4 verdict #4 - no POSIX call
+    can satisfy these reads, so a pass means listing, sizing AND the
+    executor-side split reads all honor the injected backend).
+
+    The fake is defined INSIDE the test so cloudpickle ships the class
+    by value to executors (a module-level test class would pickle by
+    reference to `test_sources`, which workers don't have)."""
+    from semanticrelationextractionpolish_spark.sources.lines import (
+        lines_with_offsets,
+    )
+
+    class _FakeFS:
+        def __init__(self, files: dict):
+            self.files = dict(files)
+
+        def glob(self, pattern):
+            import fnmatch
+
+            return sorted(p for p in self.files if fnmatch.fnmatch(p, pattern))
+
+        def has_magic(self, path):
+            return any(c in path for c in "*?[")
+
+        def isdir(self, path):
+            prefix = path.rstrip("/") + "/"
+            return any(p.startswith(prefix) for p in self.files)
+
+        def isfile(self, path):
+            return path in self.files
+
+        def listdir(self, path):
+            prefix = path.rstrip("/") + "/"
+            return sorted(p for p in self.files if p.startswith(prefix))
+
+        def size(self, path):
+            return len(self.files[path])
+
+        def open(self, path):
+            import io
+
+            return io.BytesIO(self.files[path])
+
+    payload_a = b"alpha\nbe\n\nceee dee\nunterminated"
+    payload_b = b"x\r\ny\rz\n"
+    (tmp_path / "a.txt").write_bytes(payload_a)
+    (tmp_path / "b.txt").write_bytes(payload_b)
+    fake = _FakeFS(
+        {"mem://bucket/a.txt": payload_a, "mem://bucket/b.txt": payload_b}
+    )
+
+    def strip(rows, pref):
+        return sorted((f.replace(pref, ""), o, v) for f, o, v in rows)
+
+    for sb in (1, 5, 1 << 20):
+        posix = strip(
+            map(
+                tuple,
+                lines_with_offsets(
+                    spark, str(tmp_path / "*.txt"), split_bytes=sb
+                ).collect(),
+            ),
+            str(tmp_path) + "/",
+        )
+        mem = strip(
+            map(
+                tuple,
+                lines_with_offsets(
+                    spark, "mem://bucket/*.txt", split_bytes=sb, fs=fake
+                ).collect(),
+            ),
+            "mem://bucket/",
+        )
+        assert mem == posix and len(mem) > 0, f"split_bytes={sb}"
+
+
+def test_lines_source_file_url_equivalence(spark, tmp_path):
+    """file:// and file: URLs must read identically to the raw path
+    (resolve_fs strips the scheme and lands on LocalFS)."""
+    from semanticrelationextractionpolish_spark.sources.lines import (
+        lines_with_offsets,
+    )
+
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"one\ntwo\nthree")
+    raw = sorted(
+        (o, v) for _, o, v in map(tuple, lines_with_offsets(spark, str(p)).collect())
+    )
+    assert raw == [(0, "one"), (4, "two"), (8, "three")]
+    for url in (f"file://{p}", f"file:{p}"):
+        got = sorted(
+            (o, v)
+            for _, o, v in map(tuple, lines_with_offsets(spark, url).collect())
+        )
+        assert got == raw, url

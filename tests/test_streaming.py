@@ -632,3 +632,162 @@ def test_stream_kg_under_durable_barriers(spark, tmp_path):
     assert (tmp_path / "barriers").is_dir()
     names = {p.name for p in (tmp_path / "barriers").iterdir()}
     assert any(n.startswith("inc_sigs_b") for n in names), names
+
+
+def test_state_compaction_bounds_segments_and_preserves_rows(spark, tmp_path):
+    """Round-4 verdict #3a: append tables must not accumulate one
+    segment directory per batch forever. After many commits the
+    per-table segment count stays bounded (compacted segment + recent
+    batches), the table's rows are exactly the union of every batch,
+    and a replayed COVERED batch is a no-op (no double-append)."""
+    import json as _json
+
+    from semanticrelationextractionpolish_spark.streaming.state import (
+        COMPACT_THRESHOLD,
+        VersionedState,
+    )
+
+    root = str(tmp_path / "state")
+    n_batches = 3 * COMPACT_THRESHOLD
+    for b in range(n_batches):
+        store = VersionedState(spark, root)
+        store.append_batch(
+            "t", spark.createDataFrame([(b, f"v{b}")], "batch long, v string"), b
+        )
+        store.commit()
+    manifest = _json.loads((tmp_path / "state" / "MANIFEST.json").read_text())
+    segs = manifest["tables"]["t"]
+    assert len(segs) <= COMPACT_THRESHOLD + 2, [s["path"] for s in segs]
+    compacted = [s for s in segs if s.get("covers")]
+    assert compacted, "no compacted segment after 3x threshold commits"
+    store = VersionedState(spark, root)
+    rows = {
+        (r["batch"], r["v"])
+        for r in store.read("t", "batch long, v string").collect()
+    }
+    assert rows == {(b, f"v{b}") for b in range(n_batches)}
+    # replay of a batch folded into the compacted segment: no-op
+    covered = compacted[0]["covers"][0]
+    store.append_batch(
+        "t",
+        spark.createDataFrame([(covered, f"v{covered}")], "batch long, v string"),
+        covered,
+    )
+    store.commit()
+    store2 = VersionedState(spark, root)
+    assert store2.read("t", "batch long, v string").count() == n_batches
+
+
+def test_replace_buckets_rewrites_only_touched(spark, tmp_path):
+    """Round-4 verdict #3b: the bucketed MERGE INTO stand-in must leave
+    untouched buckets' segment paths (and files) alone across a commit
+    that changes a few keys."""
+    import json as _json
+
+    from semanticrelationextractionpolish_spark.streaming.state import (
+        VersionedState,
+    )
+
+    root = str(tmp_path / "state")
+    schema = "k string, val long"
+    full0 = spark.createDataFrame([(f"key{i}", 0) for i in range(200)], schema)
+    store = VersionedState(spark, root)
+    store.replace_buckets("a", full0, full0.select("k"), key_col="k", n_buckets=8)
+    store.commit()
+    m1 = _json.loads((tmp_path / "state" / "MANIFEST.json").read_text())
+    paths1 = {s["bucket"]: s["path"] for s in m1["tables"]["a"]}
+    assert len(paths1) == 8
+
+    # change exactly two keys
+    changed_keys = ["key3", "key77"]
+    full1 = spark.createDataFrame(
+        [(f"key{i}", 1 if f"key{i}" in changed_keys else 0) for i in range(200)],
+        schema,
+    )
+    store = VersionedState(spark, root)
+    store.replace_buckets(
+        "a",
+        full1,
+        spark.createDataFrame([(k,) for k in changed_keys], "k string"),
+        key_col="k",
+        n_buckets=8,
+    )
+    store.commit()
+    m2 = _json.loads((tmp_path / "state" / "MANIFEST.json").read_text())
+    paths2 = {s["bucket"]: s["path"] for s in m2["tables"]["a"]}
+    from pyspark.sql import functions as F2
+
+    touched = {
+        r["b"]
+        for r in spark.createDataFrame([(k,) for k in changed_keys], "k string")
+        .select(F2.pmod(F2.xxhash64("k"), F2.lit(8)).alias("b"))
+        .collect()
+    }
+    for b in range(8):
+        if b in touched:
+            assert paths2[b] != paths1[b], f"touched bucket {b} not rewritten"
+        else:
+            assert paths2[b] == paths1[b], f"untouched bucket {b} rewritten"
+    store = VersionedState(spark, root)
+    got = {r["k"]: r["val"] for r in store.read("a", schema).collect()}
+    assert got == {f"key{i}": (1 if f"key{i}" in changed_keys else 0) for i in range(200)}
+
+
+def test_stream_vs_batch_bucket_cap_divergence_pinned(spark, tmp_path, monkeypatch):
+    """Round-4 verdict #7: the MAX_BUCKET skew cap applies to bucket
+    sizes AS SEEN AT PROBE TIME, so a bucket that only exceeds the cap
+    in a later batch keeps its earlier edges, while batch mode drops
+    the (now over-full) bucket wholesale. This test PINS that
+    documented divergence with a fixture that crosses the cap
+    mid-stream: lemmas "ab"*k share an identical padded-trigram set
+    (hence identical MinHash sigs and band buckets) for every k, so
+    the whole family lands in one bucket per band.
+
+    Eviction-on-cross (retracting the earlier edges) was considered
+    and rejected: components are merged monotonically (star
+    contraction only unions), so retraction would need a full CC
+    re-solve over remaining edges — exactly the O(total graph) per
+    batch cost the incremental design removes. The cap-at-probe-time
+    semantics is the documented contract."""
+    import semanticrelationextractionpolish_spark.operators.linking as OL
+    import semanticrelationextractionpolish_spark.streaming.linking as SL
+    from semanticrelationextractionpolish_spark.streaming.linking import (
+        merge_mentions_batch,
+    )
+
+    monkeypatch.setattr(OL, "MAX_BUCKET", 3)
+    monkeypatch.setattr(SL, "MAX_BUCKET", 3)
+
+    fam = ["ab" * k for k in range(2, 8)]  # 6 lemmas, one shared bucket/band
+
+    def mentions(lemmas):
+        return spark.createDataFrame(
+            [
+                (f"u{le}", 0, "e1", "city_nam", 0, 1, le, le)
+                for le in lemmas
+            ],
+            "url string, sent_idx int, entity_id string, entity_class string, "
+            "beg int, end int, surface string, lemma string",
+        )
+
+    state = str(tmp_path / "state")
+    # batch 0: bucket size 2 <= 3 -> the pair merges
+    merge_mentions_batch(spark, mentions(fam[:2]), state, batch_id=0)
+    # batch 1: bucket grows to 6 > 3 -> probe drops it, no NEW edges,
+    # but the batch-0 edge (and its merge) is retained
+    a = merge_mentions_batch(spark, mentions(fam[2:]), state, batch_id=1)
+    canon = {r["lemma"]: r["canonical"] for r in a.collect()}
+    assert canon[fam[0]] == canon[fam[1]] == fam[0]  # early merge kept
+    assert all(canon[le] == le for le in fam[2:])  # late family unmerged
+
+    # batch mode over the SAME mentions sees the over-full bucket from
+    # the start and drops it wholesale: nothing merges
+    from semanticrelationextractionpolish_spark.operators.linking import (
+        canonicalize,
+    )
+
+    assigns, _nodes = canonicalize(mentions(fam))
+    batch_canon = {r["lemma"]: r["canonical"] for r in assigns.collect()}
+    assert all(batch_canon[le] == le for le in fam)  # all singletons
+    # the divergence is exactly the early pair
+    assert canon != batch_canon
