@@ -5,6 +5,14 @@ Every query is executed to completion through the noop sink (no driver
 collect, no column-pruning shortcuts), so timings reflect the full
 distributed plan. The flagship metric is KG-construction throughput
 (triples/sec) over the synthetic page corpus sized to the sf dir.
+
+``bench.py --ab REF_COMMIT [--reps N]`` (round-4 verdict #8) runs the
+interleaved A/B protocol the round-4 drift investigation established:
+absolute BENCH JSONs from different hours carry +-10% VM window noise,
+so cross-commit comparisons MUST interleave. A detached git worktree
+of REF_COMMIT and the current tree run alternately (ref, head, ref,
+head, ...), each rep a fresh subprocess/JVM; the summary reports
+per-query and total medians plus head-vs-ref deltas in one JSON line.
 """
 
 from __future__ import annotations
@@ -100,5 +108,105 @@ def main():
     )
 
 
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    mid = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+    return round(mid, 3)
+
+
+def run_ab(ref_commit: str, reps: int = 3) -> None:
+    """Interleaved A/B: REF_COMMIT (detached worktree) vs the current
+    tree, ``reps`` alternating fresh-JVM runs per arm, medians + deltas.
+    Nothing else may run on the box during the measurement."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    wt = tempfile.mkdtemp(prefix="bench_ab_ref_")
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--force", "--detach", wt, ref_commit],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        runs: dict[str, list[dict]] = {"ref": [], "head": []}
+        for rep in range(reps):
+            for arm, cwd in (("ref", wt), ("head", REPO)):
+                out = subprocess.run(
+                    [sys.executable, os.path.join(cwd, "bench.py")],
+                    cwd=cwd,
+                    env=dict(os.environ),
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                line = [
+                    ln for ln in out.stdout.splitlines() if ln.startswith("{")
+                ][-1]
+                rec = json.loads(line)
+                runs[arm].append(rec)
+                print(
+                    f"rep {rep} {arm}: total={rec['value']}s "
+                    f"t/s={rec.get('triples_per_sec')}",
+                    file=sys.stderr,
+                )
+        common = set(runs["ref"][0]["queries"]) & set(runs["head"][0]["queries"])
+        per_query = {}
+        for q in sorted(common):
+            r = _median([x["queries"][q] for x in runs["ref"]])
+            h = _median([x["queries"][q] for x in runs["head"]])
+            per_query[q] = {
+                "ref": r,
+                "head": h,
+                "delta_pct": round(100.0 * (h - r) / r, 1) if r else None,
+            }
+        ref_total = _median([x["value"] for x in runs["ref"]])
+        head_total = _median([x["value"] for x in runs["head"]])
+        print(
+            json.dumps(
+                {
+                    "metric": "ab_interleaved",
+                    "ref_commit": ref_commit,
+                    "reps": reps,
+                    "unit": "sec",
+                    "total_median": {
+                        "ref": ref_total,
+                        "head": head_total,
+                        "delta_pct": round(
+                            100.0 * (head_total - ref_total) / ref_total, 1
+                        ),
+                    },
+                    "triples_per_sec_median": {
+                        "ref": _median(
+                            [x["triples_per_sec"] for x in runs["ref"]]
+                        ),
+                        "head": _median(
+                            [x["triples_per_sec"] for x in runs["head"]]
+                        ),
+                    },
+                    "queries": per_query,
+                    "sf": runs["head"][0]["sf"],
+                    "cpus": runs["head"][0]["cpus"],
+                }
+            )
+        )
+    finally:
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        ref = sys.argv[2]
+        n_reps = (
+            int(sys.argv[sys.argv.index("--reps") + 1])
+            if "--reps" in sys.argv
+            else 3
+        )
+        run_ab(ref, n_reps)
+    else:
+        main()
