@@ -343,6 +343,123 @@ def planted_embeddings(
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def planted_embeddings_dist(
+    spark,
+    n_base: int,
+    n_queries: int = 100,
+    n_neighbors: int = 5,
+    dim: int = DEFAULT_DIM,
+    seed: int = 7,
+    noise: float = 0.15,
+) -> DataFrame:
+    """Distributed planted near-neighbor fixture for corpus-scale recall
+    probes (round-4 verdict #6: the 40k driver-side fixture cannot
+    stretch to 1M+). Same planting scheme as ``planted_embeddings`` but
+    every vector derives from a per-id PCG64 stream
+    (``default_rng(seed * 2^32 + vec_id)``), so the corpus is
+    deterministic regardless of partitioning and never materializes on
+    the driver. ids ``< n_base`` are gaussian; id ``n_base +
+    qi*n_neighbors + j`` is base(qi) + noise*gaussian."""
+    import numpy as np
+    import pandas as pd
+
+    n_total = n_base + n_queries * n_neighbors
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                if i < n_base:
+                    v = np.random.default_rng(seed * (1 << 32) + int(i)).normal(
+                        size=dim
+                    )
+                else:
+                    qi = (int(i) - n_base) // n_neighbors
+                    base = np.random.default_rng(
+                        seed * (1 << 32) + qi
+                    ).normal(size=dim)
+                    v = base + noise * np.random.default_rng(
+                        seed * (1 << 32) + int(i)
+                    ).normal(size=dim)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return spark.range(n_total).mapInPandas(
+        kernel, schema="vec_id long, embedding array<double>"
+    )
+
+
+def brute_force_topk_blocked(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via blocked partial reduction - the
+    brute-force baseline that scales: the (tiny) query matrix rides a
+    broadcast into a vectorized numpy kernel that keeps only each Arrow
+    batch's per-query top-k (one (B, Q) matmul per batch), and a final
+    window over |Q| * k * n_batches skinny rows picks the global top-k.
+    Nothing corpus-sized is collected or cross-joined, unlike
+    ``brute_force_topk`` (the crossJoin oracle for fixture scale).
+    Same output schema/rounding; ties at the k-boundary may resolve
+    differently than the oracle's (desc sim, asc id) order across
+    batches, so use this as the recall BASELINE, the crossJoin form as
+    the exactness oracle."""
+    import numpy as np
+    import pandas as pd
+
+    sc = embeddings.sparkSession.sparkContext
+    qrows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = sc.broadcast((qids, qmat))
+    buf = k + 4  # tie slack at the per-batch cut
+
+    def kernel(batches):
+        ids_q, qm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nid = pdf[id_col].to_numpy()
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ qm.T  # (B, Q)
+            self_mask = nid[:, None] == ids_q[None, :]
+            sims[self_mask] = -np.inf
+            m = min(buf, len(nid))
+            top = np.argpartition(-sims, m - 1, axis=0)[:m]  # (m, Q)
+            rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for qi in range(len(ids_q)):
+                sel = top[:, qi]
+                rows["query_id"].extend([int(ids_q[qi])] * len(sel))
+                rows["neighbor_id"].extend(nid[sel].tolist())
+                rows["cos_sim"].extend(np.round(sims[sel, qi], 6).tolist())
+            yield pd.DataFrame(rows)
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.where(F.col("cos_sim") != float("-inf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 def ann_recall_sweep(
     embeddings: DataFrame,
     query_ids: list[int],
