@@ -82,3 +82,29 @@ def test_ann_single_probe_plan_has_no_generate(spark):
     plan4 = _plan(multi)
     assert plan4.count("Generate") == 1, plan4
     assert "BroadcastHashJoin" in plan4
+
+
+def test_driver_gate_surface_contract():
+    """Round-5 discovery: the driver's correctness gate records exactly
+    the FIRST 50 registration-order entries of queries() — round 4
+    registered 51 and the 51st (kg_gold_parity, the north-rule P/R
+    metric) silently fell off the recorded surface. Pin the discipline:
+    at most 50 queries, the parity query first, and every query backed
+    by an oracle (no silent rows-only downgrades)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    assert len(qs) <= 50, f"{len(qs)} queries registered; the gate records 50"
+    assert next(iter(qs)) == "kg_gold_parity", "parity query must register first"
+    oracles = mod.oracle_sql()
+    missing = set(qs) - set(oracles)
+    assert not missing, f"queries without oracles: {sorted(missing)}"
+    stale = set(oracles) - set(qs)
+    assert not stale, f"oracles without queries: {sorted(stale)}"
