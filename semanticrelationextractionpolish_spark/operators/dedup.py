@@ -473,8 +473,17 @@ def simhash_near_dup_pairs(
             for i in range(4)
         ]
     )
-    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
-        "doc_id", "simhash", "b.band_idx", "b.band_val"
+    # materialize the skinny band rows ONCE (same rationale as the
+    # minhash path at minhash_bands): the bucket-size guard and BOTH
+    # sides of the self-join scan this plan, and without the barrier
+    # each scan re-runs the vote/pack kernel + explode (3x the simhash
+    # compute; measured as most of the +8.8% the cap initially cost in
+    # the round-5 closing A/B)
+    banded = barrier(
+        sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+            "doc_id", "simhash", "b.band_idx", "b.band_val"
+        ),
+        "simhash_bands",
     )
     sizes = banded.groupBy("band_idx", "band_val").agg(
         F.count(F.lit(1)).alias("bsz")
