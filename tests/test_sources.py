@@ -468,3 +468,28 @@ def test_lines_source_file_url_equivalence(spark, tmp_path):
             for _, o, v in map(tuple, lines_with_offsets(spark, url).collect())
         )
         assert got == raw, url
+
+
+def test_fsspec_fs_missing_dependency_error():
+    """FsspecFS must fail fast with a clear error when fsspec is not
+    installed (this sandbox), not defer the failure into an executor
+    kernel. resolve_fs must still hand out LocalFS for plain paths and
+    file: URLs without touching fsspec."""
+    import pytest as _pytest
+
+    from semanticrelationextractionpolish_spark.sources.fs import (
+        FsspecFS,
+        LocalFS,
+        resolve_fs,
+    )
+
+    try:
+        import fsspec  # noqa: F401
+
+        _pytest.skip("fsspec installed; error path not reachable")
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match="fsspec"):
+        FsspecFS("s3")
+    assert isinstance(resolve_fs("/tmp/x"), LocalFS)
+    assert isinstance(resolve_fs("file:///tmp/x"), LocalFS)
