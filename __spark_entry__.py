@@ -359,8 +359,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = _t(spark, sf, "customer")
         nation = _t(spark, sf, "nation")
         rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # broadcast only the TRUE dims (customer, nation). orders is the
+        # second-largest fact table (1.5M rows at sf1, growing with sf) -
+        # force-broadcasting it is an OOM-shaped plan at 100x (round-5
+        # verdict #4); AQE picks broadcast at small sf and shuffle join
+        # at scale on its own.
         return (
-            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .groupBy("n_name")

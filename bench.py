@@ -109,7 +109,12 @@ def main():
 
 
 def _median(xs):
-    xs = sorted(xs)
+    # None-tolerant: a REF_COMMIT predating a bench output field yields
+    # None entries; the A/B must degrade (report null) rather than crash
+    # after all reps have been paid for (round-5 advice)
+    xs = sorted(x for x in xs if x is not None)
+    if not xs:
+        return None
     n = len(xs)
     mid = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
     return round(mid, 3)
@@ -147,22 +152,28 @@ def run_ab(ref_commit: str, reps: int = 3) -> None:
                 rec = json.loads(line)
                 runs[arm].append(rec)
                 print(
-                    f"rep {rep} {arm}: total={rec['value']}s "
+                    f"rep {rep} {arm}: total={rec.get('value')}s "
                     f"t/s={rec.get('triples_per_sec')}",
                     file=sys.stderr,
                 )
-        common = set(runs["ref"][0]["queries"]) & set(runs["head"][0]["queries"])
+        # .get throughout: old reference commits may predate the
+        # queries/triples_per_sec fields (round-5 advice)
+        common = set(runs["ref"][0].get("queries", {})) & set(
+            runs["head"][0].get("queries", {})
+        )
         per_query = {}
         for q in sorted(common):
-            r = _median([x["queries"][q] for x in runs["ref"]])
-            h = _median([x["queries"][q] for x in runs["head"]])
+            r = _median([x.get("queries", {}).get(q) for x in runs["ref"]])
+            h = _median([x.get("queries", {}).get(q) for x in runs["head"]])
             per_query[q] = {
                 "ref": r,
                 "head": h,
-                "delta_pct": round(100.0 * (h - r) / r, 1) if r else None,
+                "delta_pct": round(100.0 * (h - r) / r, 1)
+                if r and h is not None
+                else None,
             }
-        ref_total = _median([x["value"] for x in runs["ref"]])
-        head_total = _median([x["value"] for x in runs["head"]])
+        ref_total = _median([x.get("value") for x in runs["ref"]])
+        head_total = _median([x.get("value") for x in runs["head"]])
         print(
             json.dumps(
                 {
@@ -175,14 +186,16 @@ def run_ab(ref_commit: str, reps: int = 3) -> None:
                         "head": head_total,
                         "delta_pct": round(
                             100.0 * (head_total - ref_total) / ref_total, 1
-                        ),
+                        )
+                        if ref_total and head_total is not None
+                        else None,
                     },
                     "triples_per_sec_median": {
                         "ref": _median(
-                            [x["triples_per_sec"] for x in runs["ref"]]
+                            [x.get("triples_per_sec") for x in runs["ref"]]
                         ),
                         "head": _median(
-                            [x["triples_per_sec"] for x in runs["head"]]
+                            [x.get("triples_per_sec") for x in runs["head"]]
                         ),
                     },
                     "queries": per_query,

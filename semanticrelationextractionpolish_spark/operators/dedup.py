@@ -250,18 +250,17 @@ def minhash_near_dup_pairs(
         ),
         "minhash_bands",
     )
-    sizes = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bsz")
-    )
-    banded = banded.join(sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_idx", "band_hash"])
-    left = banded.select("band_idx", "band_hash", F.col("lemma").alias("doc_a"))
-    right = banded.select("band_idx", "band_hash", F.col("lemma").alias("doc_b"))
-    cand = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("doc_a").cast("long") < F.col("doc_b").cast("long"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # skew-capped in-bucket pairs in ONE shuffle of the band rows
+    # (round-6 verdict #1; see linking.capped_bucket_pairs)
+    from .linking import capped_bucket_pairs
+
+    cand = capped_bucket_pairs(
+        banded,
+        ["band_idx", "band_hash"],
+        F.col("lemma"),
+        lambda a, b: a.cast("long") < b.cast("long"),
+        MAX_BUCKET,
+    ).select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
     sh = with_sigs.select("lemma", "shingles")
     cand = cand.join(
         sh.select(F.col("lemma").alias("doc_a"), F.col("shingles").alias("sh_a")),
@@ -485,28 +484,22 @@ def simhash_near_dup_pairs(
         ),
         "simhash_bands",
     )
-    sizes = banded.groupBy("band_idx", "band_val").agg(
-        F.count(F.lit(1)).alias("bsz")
-    )
-    banded = banded.join(
-        sizes.where(F.col("bsz") <= max_bucket), ["band_idx", "band_val"]
-    )
-    a = banded.select(
-        "band_idx",
-        "band_val",
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sim_a"),
-    )
-    b = banded.select(
-        "band_idx",
-        "band_val",
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    # skew-capped in-bucket pairs in ONE shuffle of the band rows: the
+    # member struct carries the fingerprint so verification needs no
+    # join-back at all (round-6 verdict #1; see linking.capped_bucket_pairs)
+    from .linking import capped_bucket_pairs
+
+    cand = capped_bucket_pairs(
+        banded,
+        ["band_idx", "band_val"],
+        F.struct(F.col("doc_id"), F.col("simhash")),
+        lambda a, b: a["doc_id"] < b["doc_id"],
+        max_bucket,
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sim_a"),
+        F.col("b.simhash").alias("sim_b"),
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (

@@ -61,7 +61,10 @@ def _shingles(col):
 
 
 def shingle_table(
-    df: DataFrame, key: str = "lemma", ckpt_name: str | None = None
+    df: DataFrame,
+    key: str = "lemma",
+    ckpt_name: str | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """One row per key: (key, shingles, sigs) - the MinHash signature
     table. Materialized (barrier) because it feeds both the band explode
@@ -70,8 +73,17 @@ def shingle_table(
     Callers invoking this repeatedly on DIFFERENT inputs in one job
     (e.g. streaming incremental linking) must pass a distinct
     ``ckpt_name`` per call, or durable-checkpoint mode would resume the
-    first call's table."""
-    with_sh = df.select(key).distinct().withColumn("shingles", _shingles(F.col(key)))
+    first call's table.
+
+    ``assume_distinct``: skip the defensive ``distinct()``. Both
+    production call sites (``canonicalize``'s lemma groupBy, streaming's
+    per-batch new-lemma anti-join) feed inputs that are ALREADY unique
+    per key, but a persist/cache boundary between them and this plan
+    hides that from Catalyst's RemoveRedundantAggregates rule - the
+    defensive distinct then costs a real full shuffle of the lemma set
+    (round-6 verdict #1, persist audit)."""
+    keyed = df.select(key) if assume_distinct else df.select(key).distinct()
+    with_sh = keyed.withColumn("shingles", _shingles(F.col(key)))
     # one nested-HOF expression for all N_HASHES signatures (instead of N
     # separate aggregate columns): an order of magnitude less codegen for
     # the driver to compile, same result. NB: HOF lambdas must be
@@ -108,31 +120,83 @@ def _band_rows(sig_table: DataFrame, key: str) -> DataFrame:
     )
 
 
+def capped_bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    member: "F.Column",
+    less_than,
+    max_bucket: int,
+) -> DataFrame:
+    """ONE-shuffle capped in-bucket pair generation: (bucket..., member)
+    rows -> distinct ordered pairs (a, b) of members sharing a bucket,
+    buckets larger than ``max_bucket`` dropped entirely.
+
+    The round-5 shape (groupBy bucket sizes -> guard join -> band
+    self-join) shuffled the band rows three times per action; this is
+    the round-6 replacement (verdict #1) and shuffles them ONCE:
+
+    * a window ``count(*) OVER (PARTITION BY bucket)`` filters hot
+      buckets using exact pre-filter sizes WITHOUT ever materializing a
+      hot bucket's member list (a degenerate bucket at web scale can
+      hold millions of members - collect_list-then-filter would OOM a
+      task; the window only carries a count);
+    * the subsequent ``groupBy(bucket).collect_list`` reuses the
+      window's hash partitioning (required distribution already
+      satisfied -> Catalyst inserts NO second Exchange - verified in
+      the executed plan);
+    * pairs come from a nested-transform cross of the <= ``max_bucket``
+      member array (<= max_bucket^2 structs per bucket, bounded by the
+      cap) instead of a band self-join - the join and both of its
+      exchanges disappear.
+
+    ``member`` may be any expression (string key, or a struct carrying
+    a payload such as the simhash fingerprint); ``less_than(a, b)``
+    orders the pair. Output columns: ``a``, ``b`` (member type),
+    deduplicated across buckets.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    m = F.col("members")
+    pairs_expr = F.filter(
+        F.flatten(
+            F.transform(
+                m, lambda x: F.transform(m, lambda y: F.struct(x.alias("a"), y.alias("b")))
+            )
+        ),
+        lambda p: less_than(p["a"], p["b"]),
+    )
+    return (
+        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("bsz") <= max_bucket)
+        .groupBy(*bucket_cols)
+        .agg(F.collect_list(member).alias("members"))
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def lsh_candidate_pairs(
-    entities: DataFrame, key: str = "lemma", jaccard: float = DEFAULT_JACCARD
+    entities: DataFrame,
+    key: str = "lemma",
+    jaccard: float = DEFAULT_JACCARD,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Blocked similarity self-join -> verified pairs (a, b, jaccard)."""
-    sig_table = shingle_table(entities, key)
-    # materialize the band rows ONCE: both sides of the band self-join
-    # and the bucket-size guard reuse them; without this the band hashing
-    # is recomputed 3x inside a single action. The rows are skinny
+    sig_table = shingle_table(entities, key, assume_distinct=assume_distinct)
+    # materialize the band rows ONCE before the bucket shuffle: keeps
+    # the 8-way band hashing out of the exchange's re-execution scope
+    # (and, in durable mode, a resumable stage). The rows are skinny
     # (key + two ints), so this barrier is cheap at any scale.
     banded = barrier(_band_rows(sig_table, key), f"lsh_bands_{key}")
-    # skew guard: drop degenerate buckets (cheap windowless approach: count
-    # per bucket, filter) - a bucket with B members yields B^2/2 pairs.
-    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bsz")
-    )
-    banded = banded.join(
-        bucket_sizes.where(F.col("bsz") <= MAX_BUCKET), ["band_idx", "band_hash"]
-    )
-    left = banded.select("band_idx", "band_hash", F.col(key).alias("a"))
-    right = banded.select("band_idx", "band_hash", F.col(key).alias("b"))
-    cand = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
+    # skew-capped in-bucket pairs in ONE shuffle (see capped_bucket_pairs)
+    cand = capped_bucket_pairs(
+        banded,
+        ["band_idx", "band_hash"],
+        F.col(key),
+        lambda a, b: a < b,
+        MAX_BUCKET,
     )
     # verification join-back: shingles fetched once per surviving
     # candidate side, not once per band row
@@ -314,7 +378,10 @@ def canonicalize(mentions: DataFrame, jaccard: float = DEFAULT_JACCARD):
         F.count(F.lit(1)).alias("n_mentions"),
         F.collect_set("surface").alias("surfaces"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds LSH + assignment join
-    sim = lsh_candidate_pairs(lemmas, "lemma", jaccard)
+    # assume_distinct: lemmas is the output of a groupBy("lemma") - the
+    # persist boundary hides its uniqueness from Catalyst, and the
+    # defensive distinct() would re-shuffle the whole lemma set
+    sim = lsh_candidate_pairs(lemmas, "lemma", jaccard, assume_distinct=True)
     comp = connected_components(sim, "a", "b", ckpt_scope="linking_cc")
     assignments = (
         lemmas.join(comp.withColumnRenamed("id", "lemma"), "lemma", "left")

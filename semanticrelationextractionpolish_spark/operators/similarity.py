@@ -406,10 +406,13 @@ def brute_force_topk_blocked(
     window over |Q| * k * n_batches skinny rows picks the global top-k.
     Nothing corpus-sized is collected or cross-joined, unlike
     ``brute_force_topk`` (the crossJoin oracle for fixture scale).
-    Same output schema/rounding; ties at the k-boundary may resolve
-    differently than the oracle's (desc sim, asc id) order across
-    batches, so use this as the recall BASELINE, the crossJoin form as
-    the exactness oracle."""
+    EXACT, including tie resolution: the per-batch cut orders by the
+    SAME total order as the global window - (6-dp rounded sim desc,
+    neighbor id asc; unique since ids are unique) - so each batch
+    retains exactly its global-order top-k and the merge window
+    reproduces the crossJoin oracle's rows bit-for-bit (round-5 advice:
+    the previous unrounded argpartition cut could drop the oracle's
+    asc-id winner when > k+4 batch rows round-tied at the boundary)."""
     import numpy as np
     import pandas as pd
 
@@ -421,9 +424,10 @@ def brute_force_topk_blocked(
     )
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    # epsilon guard (round-5 advice): an all-zero query vector must yield
+    # sim 0.0 everywhere, not NaN-poisoned rows that silently vanish
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     bc = sc.broadcast((qids, qmat))
-    buf = k + 4  # tie slack at the per-batch cut
 
     def kernel(batches):
         ids_q, qm = bc.value
@@ -433,17 +437,17 @@ def brute_force_topk_blocked(
             nid = pdf[id_col].to_numpy()
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sims = x @ qm.T  # (B, Q)
+            sims = np.round(x @ qm.T, 6)  # (B, Q), global-order rounding
             self_mask = nid[:, None] == ids_q[None, :]
             sims[self_mask] = -np.inf
-            m = min(buf, len(nid))
-            top = np.argpartition(-sims, m - 1, axis=0)[:m]  # (m, Q)
+            m = min(k, len(nid))
             rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
             for qi in range(len(ids_q)):
-                sel = top[:, qi]
+                # total order (sim desc, id asc) == the global window's
+                sel = np.lexsort((nid, -sims[:, qi]))[:m]
                 rows["query_id"].extend([int(ids_q[qi])] * len(sel))
                 rows["neighbor_id"].extend(nid[sel].tolist())
-                rows["cos_sim"].extend(np.round(sims[sel, qi], 6).tolist())
+                rows["cos_sim"].extend(sims[sel, qi].tolist())
             yield pd.DataFrame(rows)
 
     partial = embeddings.select(id_col, vec_col).mapInPandas(
@@ -823,6 +827,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: candidates restricted to each query's
     ``n_probe`` nearest k-means cells (candidates ~ n_probe/n_centroids
@@ -836,9 +841,17 @@ def ivf_topk(
 
     Broadcast hygiene (round-4 advice): one centroid broadcast is
     shared by the index- and query-side ``assign_cells`` (was two per
-    call), the small top-k result is materialized eagerly, and the
-    broadcast is destroyed before returning - repeated sweeps at 1024+
-    cells no longer accumulate broadcast blocks."""
+    call), and with ``eager=True`` (default) the small top-k result is
+    EXECUTED here - localCheckpointed (lineage truncated) so the
+    broadcast can be destroyed deterministically before returning.
+    Repeated sweeps at 1024+ cells no longer accumulate broadcast
+    blocks. Two consequences callers must know (round-5 advice): this
+    call runs the query rather than building a plan, and the returned
+    DataFrame cannot be recomputed after executor/block loss - a
+    lost localCheckpoint block FAILS instead of recomputing. Pass
+    ``eager=False`` to get the lazy plan instead: the caller then owns
+    the broadcast's lifetime (it is left alive for the plan to use and
+    is released only by JVM GC / session teardown)."""
     import numpy as np
 
     if centroids is None:
@@ -871,9 +884,11 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
-        # k*|queries| rows: eager-materialize so the broadcast can be
-        # destroyed deterministically instead of riding the lazy plan
-        .localCheckpoint(eager=True)
     )
+    if not eager:
+        return out  # lazy plan; caller owns the broadcast's lifetime
+    # k*|queries| rows: eager-materialize so the broadcast can be
+    # destroyed deterministically instead of riding the lazy plan
+    out = out.localCheckpoint(eager=True)
     bc.destroy()
     return out

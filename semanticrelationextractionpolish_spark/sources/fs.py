@@ -119,14 +119,34 @@ class FsspecFS:
         return self._client().open(path, "rb")
 
 
-def resolve_fs(path: str):
+# Hadoop-style / legacy scheme spellings -> the fsspec protocol that
+# actually serves them (fsspec.filesystem("s3a") would fail with an
+# unregistered-protocol error; round-5 advice)
+_SCHEME_ALIASES = {
+    "s3a": "s3",
+    "s3n": "s3",
+    "gcs": "gs",
+    "abfss": "abfs",
+    "wasb": "abfs",
+    "wasbs": "abfs",
+}
+
+
+def resolve_fs(path: str, **storage_options):
     """Pick a FileSystem for ``path`` by scheme: plain paths and
-    ``file:`` URLs -> LocalFS; ``scheme://`` -> FsspecFS(scheme)."""
+    ``file:`` URLs -> LocalFS; ``scheme://`` -> FsspecFS(scheme).
+
+    ``storage_options`` are passed to the fsspec backend (credentials,
+    endpoints, anon=...); without them a remote path could only ever
+    authenticate via ambient/global fsspec config. Hadoop-style scheme
+    spellings (``s3a``, ``gcs``, ``abfss``, ...) are mapped to their
+    fsspec protocol; the PATH keeps its original spelling (fsspec
+    strips any protocol prefix itself)."""
     if "://" in path:
         scheme = path.split("://", 1)[0]
         if scheme in ("file", "local"):
             return LocalFS()
-        return FsspecFS(scheme)
+        return FsspecFS(_SCHEME_ALIASES.get(scheme, scheme), **storage_options)
     return LocalFS()
 
 

@@ -236,14 +236,18 @@ def lines_with_offsets(
     path: str,
     split_bytes: int = DEFAULT_SPLIT_BYTES,
     fs=None,
+    **storage_options,
 ) -> DataFrame:
     """-> (file, off, value): one row per line, ``off`` = byte offset of
     the line within its file. One job for any number of files; one Arrow
     batch (not one Python call) per line-range. ``fs`` (default:
     resolved from the path scheme) must be a picklable FileSystem from
-    ``sources.fs`` - it ships into the executor-side read kernel."""
+    ``sources.fs`` - it ships into the executor-side read kernel.
+    ``storage_options`` reach the fsspec backend when the path scheme
+    resolves one (credentials/endpoint/anon; round-5 advice) - they ride
+    the pickled FS into the kernel, so keep them executor-safe."""
     if fs is None:
-        fs = resolve_fs(path)
+        fs = resolve_fs(path, **storage_options)
     splits = _plan_splits(list_files(spark, path, fs), split_bytes, fs)
     if not splits:
         return spark.createDataFrame([], LINES_SCHEMA)

@@ -113,7 +113,12 @@ def merge_mentions_batch(
     # distinct checkpoint name per batch: the durable-barrier mode must
     # never resume a PREVIOUS batch's signature table for this one
     new_sigs = shingle_table(
-        new_lemmas, "lemma", ckpt_name=f"inc_sigs_b{batch_id}"
+        new_lemmas,
+        "lemma",
+        ckpt_name=f"inc_sigs_b{batch_id}",
+        # unique by construction: batch_agg is grouped by lemma and the
+        # anti-join only removes rows - skip the defensive distinct()
+        assume_distinct=True,
     ).localCheckpoint(eager=True)
     # snapshot the migration condition BEFORE staging this batch's sigs
     # (round-4 advice: checking after staging made segments("sigs")

@@ -35,7 +35,7 @@ done
 python3 - "$OUT" <<'EOF'
 import json, statistics, sys
 rows = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
-stages = ["minhash_sec", "simhash_sec", "link_sec", "total_sec"]
+stages = ["minhash_sec", "simhash_sec", "ngram_sec", "link_sec", "total_sec"]
 summary = {}
 for s in stages:
     effs = [round(r["n"][s] / (4 * r["n4"][s]), 3) for r in rows]
