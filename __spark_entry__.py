@@ -8,6 +8,24 @@
 
 Column names are aliased identically on both sides; counts are cast to
 bigint and ratios rounded so value hashes match across engines.
+
+Registration-order policy (round-5 verdict #8): the driver's
+correctness gate records exactly the FIRST 50 ``queries()`` entries in
+registration (insertion) order and silently drops the rest - round 4
+lost ``kg_gold_parity`` this way when it registered 51st. Rules:
+
+1. ``kg_gold_parity`` (the north-rule P/R metric) registers FIRST,
+   always.
+2. The surface stays at EXACTLY 50 entries. A new capability does not
+   get slot 51; it either merges into a tagged-union query (the
+   ``label_codec`` pattern: one query, per-part oracle rows) or
+   displaces a narrower query whose semantics another entry already
+   covers transitively.
+3. Any query rotated out of the 50 keeps its implementation and its
+   oracle, and stays verified by the LOCAL gate
+   (``tools/check_correctness.py``), which runs the full surface with
+   no cap - rotation changes what the driver records, never what is
+   tested.
 """
 
 from __future__ import annotations
@@ -638,15 +656,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_recall"] = lambda spark, sf: SIM.ann_recall(
         _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5, dim=64
     )
-    # multi-probe operating point (8 planes, 4 probes: measured recall
-    # 0.93 at ~2.4x the single-bucket candidate count on the planted
-    # fixture - the scale path's quality knob, round-3 verdict #6)
+    # multi-probe operating point (8 planes, DEFAULT_PROBES probes) -
+    # the default is the cheapest probe count whose recall@5 holds
+    # >= 0.95 at the 1M-vector sweep (round-5 verdict #2; see
+    # similarity.DEFAULT_PROBES and BENCH/BASELINE.md)
     q["ann_multiprobe"] = lambda spark, sf: SIM.ann_topk(
         _t(spark, sf, "embeddings"),
         query_ids=list(range(10)),
         k=5,
         dim=64,
-        n_probe=4,
+        n_probe=SIM.DEFAULT_PROBES,
     )
 
     def _embs_with_dupes(spark, sf):
@@ -1134,8 +1153,12 @@ def oracle_sql() -> dict[str, str]:
     o["cosine_topk"] = brute_force_topk_oracle_sql(list(range(10)), k=5)
     o["ann_topk"] = ann_topk_oracle_sql(list(range(10)), k=5, dim=64)
     o["ann_recall"] = ann_recall_oracle_sql(list(range(10)), k=5, dim=64)
+    from semanticrelationextractionpolish_spark.operators.similarity import (
+        DEFAULT_PROBES,
+    )
+
     o["ann_multiprobe"] = ann_topk_oracle_sql(
-        list(range(10)), k=5, dim=64, n_probe=4
+        list(range(10)), k=5, dim=64, n_probe=DEFAULT_PROBES
     )
     o["embedding_neardup"] = pairwise_cosine_dedup_oracle_sql(
         threshold=0.95, dim=64

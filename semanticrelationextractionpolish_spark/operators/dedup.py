@@ -261,7 +261,15 @@ def minhash_near_dup_pairs(
         lambda a, b: a.cast("long") < b.cast("long"),
         MAX_BUCKET,
     ).select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-    sh = with_sigs.select("lemma", "shingles")
+    # semi-join reduction before the per-side joins: one shuffle of the
+    # fat shingle table instead of two (see linking.lsh_candidate_pairs)
+    cand_keys = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("lemma")
+    ).dropDuplicates()
+    sh = barrier(
+        with_sigs.select("lemma", "shingles").join(cand_keys, "lemma", "left_semi"),
+        "minhash_verify_sh",
+    )
     cand = cand.join(
         sh.select(F.col("lemma").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",

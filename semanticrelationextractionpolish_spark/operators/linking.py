@@ -49,6 +49,29 @@ N_BANDS = 8  # 2 rows per band: P(collide) ~= 1-(1-s^2)^8, >0.94 at s=0.55
 SHINGLE = 3
 MAX_BUCKET = 64  # skew guard on a single LSH bucket
 DEFAULT_JACCARD = 0.42
+# signature-agreement pre-gate on banded candidates (round-6): a pair
+# that banded together has >= 2 of its 16 minhashes equal by
+# construction; requiring MIN_SIG_AGREE total equal positions filters
+# ACCIDENTAL collisions before they reach any shuffle or the shingle
+# verification join. Derivation at the DEFAULT_JACCARD = 0.42 operating
+# point: a true boundary pair's 14 unforced positions are ~Bin(14,
+# 0.42), so P(total < 4) ~= 0.005 - a 0.5% additional miss rate at the
+# exact threshold, vs the band S-curve's own 21% there; an accidental
+# pair over a SMALL shingle universe (hex ids: expected cross-lemma
+# jaccard ~0.004) has E[total] ~= 2.06, so the gate removes ~99.8% of
+# them. Measured on the 1M-lemma campaign shape: 48M candidates -> the
+# ~100k true pair set, verify stage 208 s -> seconds. The gate keeps
+# lsh_candidate_pairs' contract (probabilistic recall - it already
+# misses pairs that never band together); stream and batch apply the
+# SAME predicate so stream==batch equality is preserved.
+MIN_SIG_AGREE = 4
+
+
+def sig_agreement(sigs_a, sigs_b):
+    """Number of equal positions between two minhash signature arrays."""
+    return F.size(
+        F.filter(F.zip_with(sigs_a, sigs_b, lambda x, y: x == y), lambda eq: eq)
+    )
 
 
 def _shingles(col):
@@ -107,7 +130,12 @@ def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
     return _band_rows(shingle_table(df, key), key)
 
 
-def _band_rows(sig_table: DataFrame, key: str) -> DataFrame:
+def _band_rows(
+    sig_table: DataFrame, key: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Band rows (key, band_idx, band_hash) - skinny by default; ``keep``
+    names extra sig-table columns to carry (e.g. ``("sigs",)`` when the
+    in-bucket pair explode applies the signature-agreement gate)."""
     rows_per_band = N_HASHES // N_BANDS
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -116,7 +144,7 @@ def _band_rows(sig_table: DataFrame, key: str) -> DataFrame:
         ),
     )
     return sig_table.select(
-        key, F.posexplode(bands).alias("band_idx", "band_hash")
+        key, *keep, F.posexplode(bands).alias("band_idx", "band_hash")
     )
 
 
@@ -126,6 +154,8 @@ def capped_bucket_pairs(
     member: "F.Column",
     less_than,
     max_bucket: int,
+    guard: str = "prefilter",
+    pair_pred=None,
 ) -> DataFrame:
     """ONE-shuffle capped in-bucket pair generation: (bucket..., member)
     rows -> distinct ordered pairs (a, b) of members sharing a bucket,
@@ -153,23 +183,61 @@ def capped_bucket_pairs(
     a payload such as the simhash fingerprint); ``less_than(a, b)``
     orders the pair. Output columns: ``a``, ``b`` (member type),
     deduplicated across buckets.
-    """
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(*bucket_cols)
+    ``guard`` picks how over-cap buckets are dropped:
+
+    * ``"prefilter"`` (default, skew-robust): bucket sizes via a
+      map-side-combined count agg (skinny shuffle), then the OVER-cap
+      keys - at most ``n_rows / max_bucket`` of them by pigeonhole, so
+      the table is always small relative to the input - anti-join the
+      band rows (AQE picks broadcast when small, the common case). Hot
+      rows never enter the fat shuffle, so a degenerate bucket cannot
+      straggle the collect_list partition. This matters exactly when
+      the cap matters: the round-6 pair-1 campaign measured the window
+      variant regressing the skewed lemma-LSH stage ~50% at 4N while
+      improving the uniform doc-hash stages.
+    * ``"window"``: count(*) OVER (bucket) + filter - one fat shuffle
+      total, no second agg, but the window's per-partition sort
+      processes hot buckets BEFORE the filter drops them (single-task
+      straggler under skew). Right for inputs known to be near-uniform.
+
+    ``pair_pred(a, b)``: optional extra predicate applied INSIDE the
+    pair explode (e.g. the signature-agreement gate) - pairs failing it
+    never reach the dedup shuffle or any verification join.
+    """
     m = F.col("members")
+    pred = (
+        (lambda a, b: less_than(a, b) & pair_pred(a, b))
+        if pair_pred is not None
+        else less_than
+    )
     pairs_expr = F.filter(
         F.flatten(
             F.transform(
                 m, lambda x: F.transform(m, lambda y: F.struct(x.alias("a"), y.alias("b")))
             )
         ),
-        lambda p: less_than(p["a"], p["b"]),
+        lambda p: pred(p["a"], p["b"]),
     )
+    if guard == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*bucket_cols)
+        capped = (
+            banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
+    else:
+        hot = (
+            banded.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") > max_bucket)
+            .drop("bsz")
+        )
+        capped = banded.join(hot, bucket_cols, "left_anti")
     return (
-        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .where(F.col("bsz") <= max_bucket)
-        .groupBy(*bucket_cols)
+        capped.groupBy(*bucket_cols)
         .agg(F.collect_list(member).alias("members"))
         .select(F.explode(pairs_expr).alias("p"))
         .select("p.a", "p.b")
@@ -183,24 +251,47 @@ def lsh_candidate_pairs(
     jaccard: float = DEFAULT_JACCARD,
     assume_distinct: bool = False,
 ) -> DataFrame:
-    """Blocked similarity self-join -> verified pairs (a, b, jaccard)."""
+    """Blocked similarity self-join -> verified pairs (a, b, jaccard).
+
+    Recall is the banding S-curve (1-(1-s^2)^8) FURTHER gated by
+    signature agreement >= MIN_SIG_AGREE (see the constant's derivation
+    - an extra ~0.5% miss at the exact threshold, in exchange for
+    dropping the quadratic accidental-candidate term a small shingle
+    universe produces)."""
     sig_table = shingle_table(entities, key, assume_distinct=assume_distinct)
     # materialize the band rows ONCE before the bucket shuffle: keeps
     # the 8-way band hashing out of the exchange's re-execution scope
-    # (and, in durable mode, a resumable stage). The rows are skinny
-    # (key + two ints), so this barrier is cheap at any scale.
-    banded = barrier(_band_rows(sig_table, key), f"lsh_bands_{key}")
-    # skew-capped in-bucket pairs in ONE shuffle (see capped_bucket_pairs)
+    # (and, in durable mode, a resumable stage). Rows carry the 16-int
+    # signature for the in-explode agreement gate (~4x the skinny row,
+    # still far below the shingle payload the round-2 plan carried).
+    banded = barrier(
+        _band_rows(sig_table, key, keep=("sigs",)), f"lsh_bands_{key}"
+    )
+    # skew-capped in-bucket pairs in ONE fat shuffle, accidental pairs
+    # killed by the agreement gate inside the explode
     cand = capped_bucket_pairs(
         banded,
         ["band_idx", "band_hash"],
-        F.col(key),
-        lambda a, b: a < b,
+        F.struct(F.col(key).alias("k"), F.col("sigs").alias("sigs")),
+        lambda a, b: a["k"] < b["k"],
         MAX_BUCKET,
-    )
+        pair_pred=lambda a, b: sig_agreement(a["sigs"], b["sigs"])
+        >= F.lit(MIN_SIG_AGREE),
+    ).select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
     # verification join-back: shingles fetched once per surviving
-    # candidate side, not once per band row
-    sh = sig_table.select(key, "shingles")
+    # candidate side, not once per band row. The candidate set is
+    # typically sparse relative to the corpus, so the FAT shingle table
+    # is first cut to candidate keys with ONE semi-join (one shuffle of
+    # the fat rows) and the small result barriered; the two per-side
+    # joins then shuffle only candidate-sized tables (the round-5 shape
+    # shuffled the full shingle table twice, once per side).
+    cand_keys = (
+        cand.select(F.explode(F.array("a", "b")).alias(key)).dropDuplicates()
+    )
+    sh = barrier(
+        sig_table.select(key, "shingles").join(cand_keys, key, "left_semi"),
+        f"lsh_verify_sh_{key}",
+    )
     cand = cand.join(
         sh.select(F.col(key).alias("a"), F.col("shingles").alias("sh_a")), "a"
     ).join(sh.select(F.col(key).alias("b"), F.col("shingles").alias("sh_b")), "b")

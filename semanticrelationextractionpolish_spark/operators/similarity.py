@@ -91,6 +91,12 @@ def brute_force_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:
 
 
 N_PLANES = 8
+# default multi-probe count for the (8-plane) LSH operating point. The
+# round-4 value 4 held recall@5 = 0.950 at 40k vectors but slipped to
+# 0.946 at 1M (bucket occupancy grows with corpus; round-5 verdict #2);
+# the round-6 1M sweep (tools/ann_scale_probe.py -> BENCH/BASELINE.md)
+# picks the cheapest probe count whose 1M recall@5 >= 0.95.
+DEFAULT_PROBES = 6
 _PLANE_SEED = 1337
 DEFAULT_DIM = 64
 

@@ -72,6 +72,27 @@ BANDS_SCHEMA = "lemma string, band_idx int, band_hash int"
 EDGES_SCHEMA = "a string, b string"
 ASSIGN_SCHEMA = "lemma string, node_id long, canonical string"
 
+# assignments bucketing: default count for a fresh state, and the
+# sizing helper for callers that know their corpus scale up front
+ASSIGN_BUCKETS_DEFAULT = 32
+ASSIGN_BUCKET_TARGET_ROWS = 250_000
+
+
+def pick_assign_buckets(expected_lemmas: int) -> int:
+    """Power-of-two bucket count targeting ~250k assignment rows per
+    bucket, clamped to [32, 8192]: at 1M lemmas -> 32 (the historical
+    default), at 10^9 -> 4096 (~244k rows/bucket). Choose ONCE at state
+    setup from expected corpus scale and pass to
+    ``incremental_canonicalize`` - per-bucket rewrite cost is
+    O(total/n_buckets), so a fixed 32 at 10^9 lemmas means multi-GB
+    rewrites per touched bucket (round-5 verdict #3). The count is
+    sticky once committed (``VersionedState.bucket_count``); growing it
+    later is allowed but costs a one-time full-table migration."""
+    b = ASSIGN_BUCKETS_DEFAULT
+    while b < 8192 and expected_lemmas > b * ASSIGN_BUCKET_TARGET_ROWS:
+        b *= 2
+    return b
+
 
 def merge_mentions_batch(
     spark: SparkSession,
@@ -79,6 +100,7 @@ def merge_mentions_batch(
     state_dir: str,
     jaccard: float = DEFAULT_JACCARD,
     batch_id: int = 0,
+    n_assign_buckets: int | None = None,
 ) -> DataFrame:
     """One incremental merge step; returns the rewritten assignments
     (lemma, node_id, canonical). Usable directly for batch-incremental
@@ -179,10 +201,38 @@ def merge_mentions_batch(
         )
         .dropDuplicates(["a", "b"])
     )
-    sh = all_sigs.select("lemma", "shingles")
+    # semi-join reduction: cut the state-sized sig table to candidate
+    # keys once (one shuffle of the fat rows) before the two per-side
+    # joins (see linking.lsh_candidate_pairs). cand is checkpointed
+    # first so deriving the key set does not re-run the probe join.
+    # sigs ride along for the SAME signature-agreement gate the batch
+    # path applies inside its pair explode (linking.MIN_SIG_AGREE) -
+    # stream==batch equality requires the identical predicate.
+    from ..operators.linking import MIN_SIG_AGREE, sig_agreement
+
+    cand = cand.localCheckpoint(eager=True)
+    cand_keys = cand.select(F.explode(F.array("a", "b")).alias("lemma")).dropDuplicates()
+    sh = (
+        all_sigs.select("lemma", "shingles", "sigs")
+        .join(cand_keys, "lemma", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     cand = cand.join(
-        sh.select(F.col("lemma").alias("a"), F.col("shingles").alias("sh_a")), "a"
-    ).join(sh.select(F.col("lemma").alias("b"), F.col("shingles").alias("sh_b")), "b")
+        sh.select(
+            F.col("lemma").alias("a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("sigs").alias("sig_a"),
+        ),
+        "a",
+    ).join(
+        sh.select(
+            F.col("lemma").alias("b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("sigs").alias("sig_b"),
+        ),
+        "b",
+    )
+    cand = cand.where(sig_agreement(F.col("sig_a"), F.col("sig_b")) >= F.lit(MIN_SIG_AGREE))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     new_edges = (
@@ -252,8 +302,17 @@ def merge_mentions_batch(
             "canonical",
         ).select("lemma")
     )
+    # bucket count: explicit arg > the state's committed value > default.
+    # Sticky-by-default keeps repeat/replayed batches on the SAME
+    # bucketing (a drifting count would migrate-rewrite every bucket and
+    # break the repeat-batches-rewrite-0-buckets contract).
+    nb = (
+        n_assign_buckets
+        if n_assign_buckets is not None
+        else store.bucket_count("assignments", ASSIGN_BUCKETS_DEFAULT)
+    )
     store.replace_buckets(
-        "assignments", assignments, changed, key_col="lemma", n_buckets=32
+        "assignments", assignments, changed, key_col="lemma", n_buckets=nb
     )
     store.commit()  # the single atomic publish point for all four tables
     return assignments
@@ -266,16 +325,29 @@ def incremental_canonicalize(
     checkpoint_dir: str,
     jaccard: float = DEFAULT_JACCARD,
     available_now: bool = True,
+    n_assign_buckets: int | None = None,
 ):
     """foreachBatch driver for the merge step. Returns the started
     StreamingQuery; exactly-once batch replay is the streaming
     checkpoint's job, and the state writes are idempotent under replay
-    (re-merging the same batch reproduces the same state)."""
+    (re-merging the same batch reproduces the same state).
+
+    ``n_assign_buckets``: assignments bucket count for the bucketed
+    MERGE stand-in - size it from expected corpus scale with
+    ``pick_assign_buckets`` on a FRESH state dir; None keeps whatever
+    the state already committed (or the default for a new one)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        merge_mentions_batch(spark, batch_df, state_dir, jaccard, batch_id=batch_id)
+        merge_mentions_batch(
+            spark,
+            batch_df,
+            state_dir,
+            jaccard,
+            batch_id=batch_id,
+            n_assign_buckets=n_assign_buckets,
+        )
 
     writer = mentions_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -167,6 +167,16 @@ class VersionedState:
         self._pending[table] = [seg]
         self._pending_replace.add(table)
 
+    def bucket_count(self, table: str, default: int) -> int:
+        """The committed ``n_buckets`` of a bucketed table, or
+        ``default`` for a fresh/legacy one. Callers that pass this back
+        into ``replace_buckets`` keep the stored bucketing STICKY across
+        batches - changing the count is an explicit choice (it costs a
+        one-time full-table migration rewrite), never a side effect of a
+        drifting default (round-5 verdict #3)."""
+        stored = self._manifest.get("meta", {}).get(table, {}).get("n_buckets")
+        return int(stored) if stored else default
+
     def replace_buckets(
         self,
         table: str,

@@ -136,3 +136,71 @@ def test_connected_components_matches_union_find(spark):
     edges = spark.createDataFrame(raw, "src long, dst long")
     comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert comp == expected
+
+
+def test_capped_bucket_pairs_one_shuffle_equivalence(spark):
+    """Round-6 verdict #1: the one-shuffle in-bucket pair generator must
+    (a) equal the old guard-join + band-self-join pair set exactly,
+    (b) drop over-cap buckets entirely, and (c) produce its pairs with
+    a single exchange of the band rows (the window's) - the groupBy
+    reuses the window's partitioning and the self-join is gone."""
+    import re
+
+    from semanticrelationextractionpolish_spark.operators.linking import (
+        capped_bucket_pairs,
+    )
+
+    rows = [(f"k{i:03d}", i % 37, i % 5) for i in range(600)]
+    # one hot bucket: 80 members in (999, 0) - over a cap of 64
+    rows += [(f"hot{i:03d}", 999, 0) for i in range(80)]
+    banded = spark.createDataFrame(
+        rows, "lemma string, band_idx long, band_hash long"
+    ).localCheckpoint(eager=True)
+
+    got = capped_bucket_pairs(
+        banded,
+        ["band_idx", "band_hash"],
+        F.col("lemma"),
+        lambda a, b: a < b,
+        64,
+        guard="window",
+    )
+    got_pre = capped_bucket_pairs(
+        banded, ["band_idx", "band_hash"], F.col("lemma"), lambda a, b: a < b, 64
+    )
+    # reference: the round-5 shape
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    guarded = banded.join(
+        sizes.where(F.col("bsz") <= 64), ["band_idx", "band_hash"]
+    )
+    want = (
+        guarded.select("band_idx", "band_hash", F.col("lemma").alias("a"))
+        .join(
+            guarded.select("band_idx", "band_hash", F.col("lemma").alias("b")),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    for cand in (got, got_pre):  # both guards == the round-5 shape
+        assert cand.exceptAll(want).count() == 0
+        assert want.exceptAll(cand).count() == 0
+        assert cand.where(F.col("a").startswith("hot")).count() == 0
+        assert cand.count() > 0
+
+    # plan shape of the window guard: ONE exchange of the band rows,
+    # no join at all
+    got.collect()
+    final = (
+        got._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    band_exchanges = [
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", final)
+        if "band_idx" in m
+    ]
+    assert len(band_exchanges) == 1, band_exchanges
+    assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final

@@ -733,6 +733,39 @@ def test_replace_buckets_rewrites_only_touched(spark, tmp_path):
     assert got == {f"key{i}": (1 if f"key{i}" in changed_keys else 0) for i in range(200)}
 
 
+def test_assign_bucket_count_sticky_and_sized(spark, tmp_path):
+    """Round-5 verdict #3: the assignments bucket count is configurable
+    end-to-end and STICKY - a state committed with B buckets keeps B on
+    later batches whose caller passes no explicit count (a drifting
+    default would migrate-rewrite the whole table and break the
+    repeat-batches-rewrite-0-buckets contract)."""
+    from semanticrelationextractionpolish_spark.streaming.linking import (
+        ASSIGN_BUCKETS_DEFAULT,
+        pick_assign_buckets,
+    )
+    from semanticrelationextractionpolish_spark.streaming.state import (
+        VersionedState,
+    )
+
+    # sizing helper: historical default at 1M, scales as powers of two
+    assert pick_assign_buckets(1_000_000) == ASSIGN_BUCKETS_DEFAULT
+    assert pick_assign_buckets(10_000_000) == 64
+    assert pick_assign_buckets(1_000_000_000) == 4096
+    assert pick_assign_buckets(10**12) == 8192  # clamp
+
+    root = str(tmp_path / "state")
+    schema = "k string, val long"
+    df = spark.createDataFrame([(f"key{i}", 0) for i in range(50)], schema)
+    store = VersionedState(spark, root)
+    store.replace_buckets("a", df, df.select("k"), key_col="k", n_buckets=16)
+    store.commit()
+
+    fresh = VersionedState(spark, root)
+    assert fresh.bucket_count("a", ASSIGN_BUCKETS_DEFAULT) == 16
+    # unknown table falls back to the given default
+    assert fresh.bucket_count("nope", ASSIGN_BUCKETS_DEFAULT) == 32
+
+
 def test_stream_vs_batch_bucket_cap_divergence_pinned(spark, tmp_path, monkeypatch):
     """Round-4 verdict #7: the MAX_BUCKET skew cap applies to bucket
     sizes AS SEEN AT PROBE TIME, so a bucket that only exceeds the cap
