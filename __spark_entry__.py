@@ -656,15 +656,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_recall"] = lambda spark, sf: SIM.ann_recall(
         _t(spark, sf, "embeddings"), query_ids=list(range(10)), k=5, dim=64
     )
-    # multi-probe operating point (8 planes, DEFAULT_PROBES probes) -
-    # the default is the cheapest probe count whose recall@5 holds
-    # >= 0.95 at the 1M-vector sweep (round-5 verdict #2; see
-    # similarity.DEFAULT_PROBES and BENCH/BASELINE.md)
+    # multi-probe operating point (DEFAULT_MP_PLANES=7, DEFAULT_PROBES=4)
+    # - the cheapest swept point whose recall@5 holds >= 0.95 at the
+    # 1M-vector sweep (round-5 verdict #2; derivation at the constants,
+    # table in BENCH/BASELINE.md)
     q["ann_multiprobe"] = lambda spark, sf: SIM.ann_topk(
         _t(spark, sf, "embeddings"),
         query_ids=list(range(10)),
         k=5,
         dim=64,
+        n_planes=SIM.DEFAULT_MP_PLANES,
         n_probe=SIM.DEFAULT_PROBES,
     )
 
@@ -1154,11 +1155,16 @@ def oracle_sql() -> dict[str, str]:
     o["ann_topk"] = ann_topk_oracle_sql(list(range(10)), k=5, dim=64)
     o["ann_recall"] = ann_recall_oracle_sql(list(range(10)), k=5, dim=64)
     from semanticrelationextractionpolish_spark.operators.similarity import (
+        DEFAULT_MP_PLANES,
         DEFAULT_PROBES,
     )
 
     o["ann_multiprobe"] = ann_topk_oracle_sql(
-        list(range(10)), k=5, dim=64, n_probe=DEFAULT_PROBES
+        list(range(10)),
+        k=5,
+        dim=64,
+        n_planes=DEFAULT_MP_PLANES,
+        n_probe=DEFAULT_PROBES,
     )
     o["embedding_neardup"] = pairwise_cosine_dedup_oracle_sql(
         threshold=0.95, dim=64

@@ -91,12 +91,19 @@ def brute_force_topk_oracle_sql(query_ids: list[int], k: int = 5) -> str:
 
 
 N_PLANES = 8
-# default multi-probe count for the (8-plane) LSH operating point. The
-# round-4 value 4 held recall@5 = 0.950 at 40k vectors but slipped to
-# 0.946 at 1M (bucket occupancy grows with corpus; round-5 verdict #2);
-# the round-6 1M sweep (tools/ann_scale_probe.py -> BENCH/BASELINE.md)
-# picks the cheapest probe count whose 1M recall@5 >= 0.95.
-DEFAULT_PROBES = 6
+# Default multi-probe OPERATING POINT: (7 planes, 4 probes). The
+# round-4 point (8 planes, 4 probes) held recall@5 = 0.950 at 40k
+# vectors but slipped to 0.946 at 1M (bucket occupancy grows with
+# corpus; round-5 verdict #2), and the round-6 1M sweep showed 8-plane
+# multi-probe PLATEAUS at 0.948 for probes 5-8 - the missing
+# neighbors differ in >= 2 plane bits, which single-bit-flip probing
+# never reaches. One plane fewer doubles bucket occupancy instead:
+# (7, 4) measures 0.958 at 1M (cand frac 0.031), the cheapest swept
+# point >= 0.95 (full table in BENCH/BASELINE.md). Floor-tested at the
+# 40k fixture; ann_topk's own default stays N_PLANES for the
+# single-probe query's pinned behavior.
+DEFAULT_MP_PLANES = 7
+DEFAULT_PROBES = 4
 _PLANE_SEED = 1337
 DEFAULT_DIM = 64
 

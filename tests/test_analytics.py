@@ -273,6 +273,36 @@ def test_ann_multiprobe_recall_at_bounded_candidates(spark):
     assert multi["avg_candidates"] <= 5 * single["avg_candidates"]
 
 
+def test_ann_default_operating_point_floor(spark):
+    """Round-6 verdict #2: the DEFAULT multi-probe operating point
+    (DEFAULT_MP_PLANES=7, DEFAULT_PROBES=4 - chosen by the 1M sweep,
+    recall@5 = 0.958 there) must hold a recall floor on the planted
+    fixture too. 8-plane probing plateaus at 0.948 at 1M (missing
+    neighbors differ in >= 2 plane bits), which is why the default
+    dropped a plane rather than adding probes."""
+    from semanticrelationextractionpolish_spark.operators.similarity import (
+        DEFAULT_MP_PLANES,
+        DEFAULT_PROBES,
+        ann_recall_sweep,
+        planted_embeddings,
+    )
+
+    assert (DEFAULT_MP_PLANES, DEFAULT_PROBES) == (7, 4)
+    emb = planted_embeddings(
+        spark, n_base=600, n_queries=40, n_neighbors=5
+    ).localCheckpoint(eager=True)
+    (row,) = ann_recall_sweep(
+        emb,
+        query_ids=list(range(40)),
+        k=5,
+        plane_counts=((DEFAULT_MP_PLANES, DEFAULT_PROBES),),
+    )
+    # the >= 0.95 claim is the 1M sweep (BENCH/BASELINE.md: 0.958);
+    # this fixture is 600 vectors, where the deterministic measurement
+    # is 0.945 - the floor is a regression tripwire, not the claim
+    assert row["mean_recall"] >= 0.94, row
+
+
 def test_resize_and_frame_sampling_plumbing(spark):
     """Multimodal resize + frame-sample plumbing (engine additions the
     brief lists next to decode/feature-extract): resize produces exactly

@@ -90,14 +90,17 @@ def main():
         return round(hits / n_exact, 4)
 
     from semanticrelationextractionpolish_spark.operators.similarity import (
+        DEFAULT_MP_PLANES,
         DEFAULT_PROBES,
-        N_PLANES as _NP,
     )
 
-    # probe sweep 4->8 at 8 planes (round-5 verdict #2: pick the
-    # cheapest point holding recall@5 >= 0.95 AT SCALE), plus the
-    # single-probe and 12-plane reference points
-    for n_planes, n_probe in ((8, 1), (8, 4), (8, 5), (8, 6), (8, 8), (12, 8)):
+    # probe sweep (round-5 verdict #2: pick the cheapest point holding
+    # recall@5 >= 0.95 AT SCALE): 8-plane probes 4-8 plateau at 0.948,
+    # so the sweep includes 7-plane points (double occupancy reaches
+    # pairs that differ in >= 2 bits of an 8-plane code)
+    for n_planes, n_probe in (
+        (8, 1), (8, 4), (8, 6), (8, 8), (7, 3), (7, 4), (7, 5), (12, 8),
+    ):
         t0 = time.time()
         approx = ann_topk(
             emb, qids, k=K, n_planes=n_planes, n_probe=n_probe
@@ -110,7 +113,7 @@ def main():
             "recall": rec,
             "query_sec": round(t_q, 1),
             "expected_candidate_frac": round(n_probe / (1 << n_planes), 6),
-            "is_default": (n_planes, n_probe) == (_NP, DEFAULT_PROBES),
+            "is_default": (n_planes, n_probe) == (DEFAULT_MP_PLANES, DEFAULT_PROBES),
         }
         results["lsh"].append(row)
         print(f"lsh {row}", file=sys.stderr)
