@@ -43,6 +43,21 @@ def page_rate_by_lang(pages_stream: DataFrame, window: str = "1 hour") -> DataFr
     )
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen a micro-batch whose file-source scan has fewer partitions
+    than the session has cores. The extraction chain is deliberately
+    zero-shuffle, so it inherits the scan's parallelism - and a trigger
+    that pulled N files yields N tasks no matter how many executors
+    exist (measured: the 500k-page streaming campaign sat at ~0.37 N->4N
+    efficiency because every 2-file micro-batch ran 2 tasks on 8 cores).
+    Conditional, so a production trigger with files >> cores (the 100 TB
+    shape) pays no extra shuffle."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def stream_triples(
     spark: SparkSession,
     input_dir: str,
@@ -65,7 +80,7 @@ def stream_triples(
         pl = batch_df.where(F.col("lang") == "pl")
         if pl.isEmpty():
             return
-        sents = segment_and_tag(pl)
+        sents = segment_and_tag(_spread(pl, spark))
         pairs = generate_pairs(sents, static_rels)
         triples = triples_from_scored(score_pairs(pairs))
         # per-batch partition + overwrite: foreachBatch is at-least-once,
@@ -181,7 +196,7 @@ def stream_kg(
         pl = batch_df.where(F.col("lang") == "pl")
         if pl.isEmpty():
             return
-        sents = segment_and_tag(pl).localCheckpoint(eager=True)
+        sents = segment_and_tag(_spread(pl, spark)).localCheckpoint(eager=True)
         pairs = generate_pairs(sents, static_rels)
         triples = triples_from_scored(score_pairs(pairs))
         # batch_id as a long data column inside the partition files too

@@ -21,7 +21,7 @@ Protocol:
 
 Usage:
   spark-submit --master local-cluster[4,2,8192] --py-files semrex.zip \
-      tools/scaling_stream_job.py <n_pages> [--check]
+      tools/scaling_stream_job.py <n_pages> [n_batches] [--check]
 Prints one JSON line.
 """
 
@@ -47,7 +47,9 @@ def du(path: str) -> int:
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     check = "--check" in sys.argv
-    n_files = 40  # 40 files / 2 per trigger -> 20 micro-batches
+    args = [a for a in sys.argv[2:] if not a.startswith("--")]
+    n_batches = int(args[0]) if args else 20
+    n_files = 2 * n_batches  # 2 files per trigger
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -90,7 +92,7 @@ def main():
         out_dir,
         ck_dir,
         state_dir,
-        max_files_per_trigger=max(1, n_files // 20),
+        max_files_per_trigger=2,
     )
     q.awaitTermination()
     wall = time.time() - t0
