@@ -165,6 +165,7 @@ def stream_kg(
     state_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 8,
+    batch_metrics: list | None = None,
 ):
     """Full continuous KG construction - the north-rule pipeline in
     streaming form. Every micro-batch of new pages:
@@ -183,7 +184,18 @@ def stream_kg(
     the triples sink + the assignment state; equality with batch
     ``build_kg(link=True)`` over the same pages is pinned by
     ``tests/test_streaming.py::test_stream_kg_matches_batch_graph``.
+
+    ``batch_metrics``: optional driver-side list; each processed batch
+    appends ``{"batch_id", "extract_sec", "sink_sec", "merge_sec"}``
+    (foreachBatch runs on the driver, so a plain list works). The split
+    is the scaling-attribution hook: extract+sink parallelize with the
+    cluster, while the state merge is a fixed per-batch term (many
+    small jobs + one manifest swap) that amortizes with BIGGER batches,
+    not more executors - see the round-6 streaming campaign in
+    BENCH/BASELINE.md.
     """
+    import time as _time
+
     from ..operators.mentions import mentions_from_sentences
     from ..operators.pairs import generate_pairs
     from ..operators.score import score_pairs, triples_from_scored
@@ -196,7 +208,9 @@ def stream_kg(
         pl = batch_df.where(F.col("lang") == "pl")
         if pl.isEmpty():
             return
+        t0 = _time.time()
         sents = segment_and_tag(_spread(pl, spark)).localCheckpoint(eager=True)
+        t1 = _time.time()
         pairs = generate_pairs(sents, static_rels)
         triples = triples_from_scored(score_pairs(pairs))
         # batch_id as a long data column inside the partition files too
@@ -204,9 +218,19 @@ def stream_kg(
         triples.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "overwrite"
         ).parquet(os.path.join(output_dir, "triples", f"batch_id={batch_id}"))
+        t2 = _time.time()
         merge_mentions_batch(
             spark, mentions_from_sentences(sents), state_dir, batch_id=batch_id
         )
+        if batch_metrics is not None:
+            batch_metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "extract_sec": round(t1 - t0, 2),
+                    "sink_sec": round(t2 - t1, 2),
+                    "merge_sec": round(_time.time() - t2, 2),
+                }
+            )
 
     stream = read_page_stream(spark, input_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -49,7 +49,15 @@ def main():
     check = "--check" in sys.argv
     args = [a for a in sys.argv[2:] if not a.startswith("--")]
     n_batches = int(args[0]) if args else 20
-    n_files = 2 * n_batches  # 2 files per trigger
+    # 8 files per trigger: a production trigger over a 100 TB directory
+    # pulls files >> cores, so the per-batch SCAN is wide. The first
+    # round-6 campaign used 2 files/trigger and measured 0.37 N->4N
+    # efficiency - phase attribution (batch_metrics) showed every phase
+    # throttled because the scan + repartition write side ran as 2
+    # tasks in BOTH arms (data-proportional serial work, the one
+    # shape _spread cannot fix).
+    files_per_trigger = 8
+    n_files = files_per_trigger * n_batches
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -85,6 +93,7 @@ def main():
     n_actual = spark.read.parquet(in_dir).count()
 
     t0 = time.time()
+    phases: list = []
     q = stream_kg(
         spark,
         in_dir,
@@ -92,7 +101,8 @@ def main():
         out_dir,
         ck_dir,
         state_dir,
-        max_files_per_trigger=2,
+        max_files_per_trigger=files_per_trigger,
+        batch_metrics=phases,
     )
     q.awaitTermination()
     wall = time.time() - t0
@@ -132,6 +142,10 @@ def main():
         "state_mb": round(du(state_dir) / 1e6, 1),
         "sink_mb": round(du(out_dir) / 1e6, 1),
     }
+    if phases:
+        med = lambda xs: sorted(xs)[len(xs) // 2]
+        for k in ("extract_sec", "sink_sec", "merge_sec"):
+            result[f"{k}_med"] = med([p[k] for p in phases])
 
     if check:
         from pyspark.sql import functions as F
