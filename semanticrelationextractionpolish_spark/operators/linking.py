@@ -312,6 +312,7 @@ def connected_components(
     max_iter: int = 25,
     on_nonconverged: str = "raise",
     ckpt_scope: str = "cc",
+    result_barrier: bool = False,
 ) -> DataFrame:
     """Alternating large-star/small-star contraction -> (id, comp).
 
@@ -341,9 +342,22 @@ def connected_components(
     every iteration's tasks usefully sized at any scale.
 
     Lineage: one ``barrier`` per round (localCheckpoint, or durable
-    parquet under ``spark.semrex.checkpointDir``/``ckpt_scope``).
+    parquet under ``spark.semrex.checkpointDir``/``ckpt_scope``), and
+    each round RELEASES the previous round's blocks once it has
+    materialized - without that, a 50-round CC pins 50 edge-set copies
+    in executor storage for the rest of the session
+    (``materialize.release``; no-op in durable mode).
+
+    ``result_barrier=True``: checkpoint the (id, comp) result itself
+    and release ALL internal barriers (input + final round) before
+    returning - the returned DataFrame is then self-contained, leaving
+    exactly one pinned block the CALLER owns (release it when done).
+    The mode for long-lived sessions that call CC repeatedly (the
+    streaming merge: one CC per micro-batch); the default lazy return
+    is right for one-shot batch jobs, where the final join can still
+    fuse into the caller's plan.
     """
-    from .materialize import BARRIER_CONF
+    from .materialize import BARRIER_CONF, release
 
     durable = edges.sparkSession.conf.get(BARRIER_CONF, None) is not None
 
@@ -428,7 +442,10 @@ def connected_components(
             .distinct()
             .repartition(n_part, "u")
         )
+        prev_e = e
         e, m = _materialize(small, f"{ckpt_scope}_round_{it}", _STATS())
+        # the new round's checkpoint was prev_e's last consumer
+        release(prev_e)
         stats = (m["n"], m["h"])
         rounds = it + 1
         if stats == prev_stats:
@@ -446,11 +463,16 @@ def connected_components(
     # fixed point = disjoint stars (u -> component-min); roots and
     # isolated/self-loop-only nodes label themselves
     stars = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
-    return (
+    result = (
         nodes.join(stars, "id", "left")
         .groupBy("id")
         .agg(F.min(F.coalesce("comp", "id")).alias("comp"))
     )
+    if result_barrier:
+        result = result.localCheckpoint(eager=True)
+        release(e)
+        release(raw)
+    return result
 
 
 def canonicalize(mentions: DataFrame, jaccard: float = DEFAULT_JACCARD):

@@ -62,6 +62,36 @@ def barrier(df: DataFrame, name: str) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def release(df: DataFrame) -> bool:
+    """Free the executor-storage blocks behind a ``localCheckpoint``
+    barrier once EVERY consumer has run its action.
+
+    ``localCheckpoint`` blocks are immortal for the session otherwise:
+    ``DataFrame.unpersist()`` goes through the CacheManager and does
+    NOT touch them, so a long-lived session (an iterative CC loop, a
+    streaming job running for days, a bench JVM running 13 queries)
+    accumulates every barrier it ever made until executors hit storage
+    pressure and evict working data. The blocks live on the internal
+    RDD inside the checkpoint's ``LogicalRDD`` leaf - this reaches
+    through and unpersists that RDD directly.
+
+    DANGER: lineage is truncated, so after release any new action on
+    the DataFrame (or a lazy descendant) FAILS with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of recomputing - call
+    only when the plan is dead. No-op (returns False) for durable
+    parquet barriers and anything else that is not a local checkpoint,
+    so callers can release unconditionally in both barrier modes.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:  # py4j surface drift - releasing is best-effort
+        return False
+
+
 def salted_repartition(
     df: DataFrame,
     key: str,

@@ -134,6 +134,9 @@ def merge_mentions_batch(
     )
     # distinct checkpoint name per batch: the durable-barrier mode must
     # never resume a PREVIOUS batch's signature table for this one
+    # shingle_table already returns a barrier (eager localCheckpoint or
+    # durable parquet) - a second localCheckpoint here would pin a
+    # duplicate copy of the table that release() can't reach
     new_sigs = shingle_table(
         new_lemmas,
         "lemma",
@@ -141,7 +144,7 @@ def merge_mentions_batch(
         # unique by construction: batch_agg is grouped by lemma and the
         # anti-join only removes rows - skip the defensive distinct()
         assume_distinct=True,
-    ).localCheckpoint(eager=True)
+    )
     # snapshot the migration condition BEFORE staging this batch's sigs
     # (round-4 advice: checking after staging made segments("sigs")
     # non-empty on the very first batch of a brand-new state_dir, so the
@@ -210,7 +213,7 @@ def merge_mentions_batch(
     # stream==batch equality requires the identical predicate.
     from ..operators.linking import MIN_SIG_AGREE, sig_agreement
 
-    cand = cand.localCheckpoint(eager=True)
+    cand = cand_ck = cand.localCheckpoint(eager=True)
     cand_keys = cand.select(F.explode(F.array("a", "b")).alias("lemma")).dropDuplicates()
     sh = (
         all_sigs.select("lemma", "shingles", "sigs")
@@ -266,8 +269,12 @@ def merge_mentions_batch(
     )
     # star contraction over REPRESENTATIVES only: cost follows this
     # batch's new edges + the components they touch, not the full graph
+    # result_barrier: the stream runs one CC per micro-batch for the
+    # session's whole lifetime - CC's internal barriers must not
+    # outlive the batch (released inside; comp's own block below)
     comp = connected_components(
-        rep_edges, "ra", "rb", ckpt_scope=f"inc_cc_b{batch_id}"
+        rep_edges, "ra", "rb", ckpt_scope=f"inc_cc_b{batch_id}",
+        result_barrier=True,
     )
 
     merged = store.read("lemmas", LEMMAS_SCHEMA).groupBy("lemma").agg(
@@ -315,6 +322,15 @@ def merge_mentions_batch(
         "assignments", assignments, changed, key_col="lemma", n_buckets=nb
     )
     store.commit()  # the single atomic publish point for all four tables
+    # every intermediate barrier's last consumer has now run (the state
+    # writes + the assignments checkpoint are eager). Release them, or
+    # a long-running stream pins every batch's sigs/bands/candidates in
+    # executor storage forever (materialize.release docstring). The
+    # returned assignments checkpoint is the CALLER's to release.
+    from ..operators.materialize import release
+
+    for df in (new_sigs, new_bands, touched, cand_ck, sh, new_edges, comp):
+        release(df)
     return assignments
 
 
@@ -340,7 +356,7 @@ def incremental_canonicalize(
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        merge_mentions_batch(
+        assignments = merge_mentions_batch(
             spark,
             batch_df,
             state_dir,
@@ -348,6 +364,11 @@ def incremental_canonicalize(
             batch_id=batch_id,
             n_assign_buckets=n_assign_buckets,
         )
+        # this driver never reads the in-memory result (next batch
+        # reads committed state from disk) - drop its pinned block
+        from ..operators.materialize import release
+
+        release(assignments)
 
     writer = mentions_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

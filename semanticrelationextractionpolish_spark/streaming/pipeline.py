@@ -219,9 +219,16 @@ def stream_kg(
             "overwrite"
         ).parquet(os.path.join(output_dir, "triples", f"batch_id={batch_id}"))
         t2 = _time.time()
-        merge_mentions_batch(
+        assignments = merge_mentions_batch(
             spark, mentions_from_sentences(sents), state_dir, batch_id=batch_id
         )
+        # the batch is fully committed (triples parquet + state
+        # manifest) - release this batch's pinned blocks so a stream
+        # running for days holds O(1) storage, not O(batches)
+        from ..operators.materialize import release
+
+        release(sents)
+        release(assignments)
         if batch_metrics is not None:
             batch_metrics.append(
                 {

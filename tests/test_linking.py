@@ -204,3 +204,60 @@ def test_capped_bucket_pairs_one_shuffle_equivalence(spark):
     ]
     assert len(band_exchanges) == 1, band_exchanges
     assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final
+
+
+def _stored_rdd_ids(spark):
+    return {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def test_connected_components_releases_superseded_rounds(spark):
+    """Barrier-release discipline (round-6): a multi-round CC must not
+    pin every round's localCheckpoint blocks for the rest of the
+    session - DataFrame.unpersist() cannot reach them, so without
+    materialize.release a long-lived session accumulates one edge-set
+    copy per round per CC call. Default mode may keep only the blocks
+    the lazy result still needs (input + final round); result_barrier
+    mode returns a self-contained checkpoint and keeps exactly ONE."""
+    from semanticrelationextractionpolish_spark.operators.materialize import (
+        release,
+    )
+
+    before = _stored_rdd_ids(spark)
+    n = 120  # chain: contracts over several rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+
+    comp = connected_components(edges)
+    assert comp.count() == n
+    leftover = _stored_rdd_ids(spark) - before
+    assert len(leftover) <= 2, leftover  # input barrier + final round
+
+    before2 = _stored_rdd_ids(spark)
+    comp2 = connected_components(edges, result_barrier=True)
+    got = {r["id"]: r["comp"] for r in comp2.collect()}
+    assert got == {r["id"]: r["comp"] for r in comp.collect()}
+    leftover2 = _stored_rdd_ids(spark) - before2
+    assert len(leftover2) == 1, leftover2  # just the result checkpoint
+    assert release(comp2)  # caller-owned; releasable
+    assert len(_stored_rdd_ids(spark) - before2) == 0
+
+
+def test_release_is_noop_on_non_checkpoint_plans(spark):
+    """release() must refuse plans that can recompute (not LogicalRDD):
+    releasing a cached-but-lineage-bearing DataFrame would be wrong to
+    report as released, and arbitrary lazy plans are untouched."""
+    from semanticrelationextractionpolish_spark.operators.materialize import (
+        release,
+    )
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS x")
+    assert release(df) is False
+    assert df.count() == 10  # still usable
+    cached = spark.range(10).cache()
+    assert cached.count() == 10
+    assert release(cached) is False  # CacheManager-cached, not a ckpt
+    assert cached.count() == 10
+    cached.unpersist()

@@ -824,3 +824,45 @@ def test_stream_vs_batch_bucket_cap_divergence_pinned(spark, tmp_path, monkeypat
     assert all(batch_canon[le] == le for le in fam)  # all singletons
     # the divergence is exactly the early pair
     assert canon != batch_canon
+
+
+def test_stream_kg_storage_is_bounded_per_batch(spark, tmp_path):
+    """Round-6 barrier-release discipline, streaming side: a stream
+    that localCheckpoints per batch (sents, sigs, bands, candidates,
+    edges, CC rounds, assignments) must RELEASE those blocks when the
+    batch commits - localCheckpoint blocks are unreachable by
+    DataFrame.unpersist(), so without materialize.release a stream
+    running for days pins O(batches) executor storage and evicts
+    working data. Gate: executor-stored RDD count after 5 real
+    micro-batches stays a small constant, not ~10 blocks x batches."""
+    from semanticrelationextractionpolish_spark.streaming.pipeline import (
+        stream_kg,
+    )
+
+    def stored():
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    pages, rels = synth_pages(spark, 50)
+    in_dir = str(tmp_path / "pages_in")
+    rels_path = str(tmp_path / "rels")
+    pages.repartition(5).write.parquet(in_dir)
+    rels.write.parquet(rels_path)
+
+    before = stored()
+    q = stream_kg(
+        spark,
+        in_dir,
+        rels_path,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        str(tmp_path / "state"),
+        max_files_per_trigger=1,  # 5 real micro-batches
+    )
+    q.awaitTermination(300)
+    leaked = stored() - before
+    # one-time allowances (e.g. the bands-backfill migration barrier),
+    # NOT per-batch growth: 5 batches each checkpoint ~9 frames, so an
+    # unreleased pipeline would leave ~45 blocks here
+    assert len(leaked) <= 4, f"{len(leaked)} blocks left: {sorted(leaked)}"
