@@ -4,11 +4,12 @@
 # back-to-back reps (N then 4N in one interference window), unpinned,
 # median of per-pair ratios, NOTHING else running on the VM.
 #
-# Usage: bash tools/run_scaling_dedup.sh [n_pairs] [n_docs] [outfile]
+# Usage: bash tools/run_scaling_dedup.sh [n_pairs] [n_docs] [outfile] [stages_csv]
 set -u
 PAIRS=${1:-4}
 DOCS=${2:-1000000}
 OUT=${3:-/tmp/scaling_dedup_runs.jsonl}
+STAGES=${4:-minhash,simhash,ngram,link}
 cd /root/repo
 rm -f /tmp/semrex.zip "$OUT"
 zip -qr /tmp/semrex.zip semanticrelationextractionpolish_spark
@@ -22,8 +23,8 @@ run_one () {  # $1=executors $2=shufpart
     --conf 'spark.executor.extraJavaOptions=-XX:ParallelGCThreads=4 -XX:ConcGCThreads=1 -XX:+UseG1GC' \
     --conf spark.sql.execution.arrow.maxRecordsPerBatch=20000 \
     --conf spark.ui.enabled=false \
-    --py-files /tmp/semrex.zip tools/scaling_dedup_job.py "$DOCS" 2>/dev/null \
-    | grep '"minhash_sec"'
+    --py-files /tmp/semrex.zip tools/scaling_dedup_job.py "$DOCS" "$STAGES" 2>/dev/null \
+    | grep '"total_sec"'
 }
 
 for i in $(seq 1 "$PAIRS"); do
@@ -38,6 +39,8 @@ rows = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
 stages = ["minhash_sec", "simhash_sec", "ngram_sec", "link_sec", "total_sec"]
 summary = {}
 for s in stages:
+    if s not in rows[0]["n"]:
+        continue
     effs = [round(r["n"][s] / (4 * r["n4"][s]), 3) for r in rows]
     summary[s] = {"pair_efficiencies": effs,
                   "median": round(statistics.median(effs), 3)}

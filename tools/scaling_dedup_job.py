@@ -25,7 +25,13 @@ Launched via spark-submit; master/cores come from the command line,
 mirroring tools/scaling_job.py. Prints one JSON line.
 
     spark-submit --master local-cluster[4,2,8192] --py-files semrex.zip \
-        tools/scaling_dedup_job.py <n_docs>
+        tools/scaling_dedup_job.py <n_docs> [stages_csv]
+
+``stages_csv`` (default all four): any of minhash,simhash,ngram,link -
+lets a campaign target one stage's open question at a volume where the
+others would dominate wall-clock (the round-6 4M-doc minhash/simhash
+pairs: link at 4M costs ~18 min per N arm and already has its own
+1M-doc campaign evidence).
 """
 
 from __future__ import annotations
@@ -39,6 +45,9 @@ from pyspark.sql import SparkSession
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    stages = set(
+        (sys.argv[2] if len(sys.argv) > 2 else "minhash,simhash,ngram,link").split(",")
+    )
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -91,21 +100,25 @@ def main():
     n_actual = docs.count()
 
     timings = {}
-    t0 = time.time()
-    n_mh = minhash_near_dup_pairs(docs, jaccard=0.85).count()
-    timings["minhash_sec"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_sh = simhash_near_dup_pairs(docs, max_hamming=6).count()
-    timings["simhash_sec"] = round(time.time() - t0, 3)
+    n_mh = n_sh = n_ng = n_lemmas = None
+    if "minhash" in stages:
+        t0 = time.time()
+        n_mh = minhash_near_dup_pairs(docs, jaccard=0.85).count()
+        timings["minhash_sec"] = round(time.time() - t0, 3)
+    if "simhash" in stages:
+        t0 = time.time()
+        n_sh = simhash_near_dup_pairs(docs, max_hamming=6).count()
+        timings["simhash_sec"] = round(time.time() - t0, 3)
     # round-5 verdict #4: n-gram Jaccard was the one dedup operator with
     # no at-scale evidence. Planted pairs share 22 of 23 word trigrams
     # (jaccard ~0.956), so threshold 0.9 keeps exactly the planted set.
-    t0 = time.time()
-    n_ng = ngram_jaccard_pairs(docs, threshold=0.9).count()
-    timings["ngram_sec"] = round(time.time() - t0, 3)
+    if "ngram" in stages:
+        t0 = time.time()
+        n_ng = ngram_jaccard_pairs(docs, threshold=0.9).count()
+        timings["ngram_sec"] = round(time.time() - t0, 3)
 
     # --- linking: one mention per doc, lemma = md5(base)(+suffix) ------
-    mentions = ids.select(
+    mentions = None if "link" not in stages else ids.select(
         F.concat(F.lit("https://p/"), F.col("id")).alias("url"),
         F.lit(0).alias("sent_idx"),
         F.lit("e1").alias("entity_id"),
@@ -116,12 +129,14 @@ def main():
         F.when(
             planted, F.concat(F.md5(base_id.cast("string")), F.lit("a"))
         ).otherwise(F.md5(base_id.cast("string"))).alias("lemma"),
-    ).localCheckpoint(eager=True)
-    mentions.count()
-    t0 = time.time()
-    assigns, _nodes = canonicalize(mentions)
-    n_lemmas = assigns.count()
-    timings["link_sec"] = round(time.time() - t0, 3)
+    )
+    if mentions is not None:
+        mentions = mentions.localCheckpoint(eager=True)
+        mentions.count()
+        t0 = time.time()
+        assigns, _nodes = canonicalize(mentions)
+        n_lemmas = assigns.count()
+        timings["link_sec"] = round(time.time() - t0, 3)
 
     print(
         json.dumps(
