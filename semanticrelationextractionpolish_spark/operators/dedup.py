@@ -421,6 +421,16 @@ def simhash(
 
     @pandas_udf(T.LongType())
     def pack_simhash(hs: pd.Series) -> pd.Series:
+        # Deliberately per-ROW: each doc's (n_tokens x bits) bit matrix
+        # stays cache-resident. Batch-wide vectorizations were measured
+        # SLOWER (round 6): one flat (total_tokens x 64) matrix builds
+        # 100-250 MB temporaries per 20k-row Arrow batch and goes
+        # memory-bandwidth-bound (0.2x), and np.add.reduceat's
+        # segment-sum is a non-SIMD per-segment loop (0.6x even via
+        # packed unpackbits bytes). The per-row loop is ~50 us/doc and
+        # scales linearly with cores - at 4M docs the kernel's CPU
+        # parallelizes at ~1.0 efficiency (campaign decomposition in
+        # BENCH/BASELINE.md round-6).
         out = np.zeros(len(hs), dtype=np.int64)
         shifts = np.arange(bits, dtype=np.uint64)
         for i, arr in enumerate(hs):
