@@ -866,3 +866,21 @@ def test_stream_kg_storage_is_bounded_per_batch(spark, tmp_path):
     # NOT per-batch growth: 5 batches each checkpoint ~9 frames, so an
     # unreleased pipeline would leave ~45 blocks here
     assert len(leaked) <= 4, f"{len(leaked)} blocks left: {sorted(leaked)}"
+
+
+def test_spread_widens_skinny_batches_only(spark):
+    """_spread repartitions a micro-batch only when the file-source
+    scan delivered fewer partitions than the session has cores - a
+    production trigger with files >= cores must NOT pay an extra
+    shuffle (the round-6 streaming campaign found a 2-file trigger
+    running 2 tasks on 8 cores at every batch size)."""
+    from semanticrelationextractionpolish_spark.streaming.pipeline import (
+        _spread,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    skinny = spark.range(1000).coalesce(1)
+    assert _spread(skinny, spark).rdd.getNumPartitions() == cores
+    wide = spark.range(1000).repartition(cores + 3)
+    out = _spread(wide, spark)
+    assert out is wide  # untouched: no repartition node added
