@@ -141,6 +141,40 @@ def ngram_jaccard_pairs(
 MERSENNE_P = (1 << 31) - 1  # modulus of the cross-engine sig-hash family
 
 
+def _minhash_sigs_np():
+    """Vectorized MinHash signatures for the md5 family: per doc,
+    min over shingle hashes of the 16 universal hashes
+    ((h*a_i + b_i) mod p). Bit-identical to the Column formulation
+    (operands < 2^31, products < 2^62: int64 never overflows, numpy %
+    on non-negatives == Java %), but one numpy broadcast per doc
+    instead of 16 interpreted HOF passes - measured 0.84 s -> 0.25 s
+    on the 5.7k-doc sf0.1 stage (guide §4.2). Per-ROW matmul keeps the
+    (n_shingles x 16) temporary cache-resident (the round-6 simhash
+    finding: batch-flat vectorization goes memory-bound)."""
+    from .linking import N_HASHES
+
+    p = MERSENNE_P
+    A = np.array(
+        [(i * 2654435761) % p + 1 for i in range(N_HASHES)], dtype=np.int64
+    )
+    B = np.array([i * 40503 + 7 for i in range(N_HASHES)], dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sigs_np(col: pd.Series) -> pd.Series:
+        out = []
+        for arr in col:
+            if arr is None or len(arr) == 0:
+                # mirror array_min(empty) -> NULL per signature slot
+                out.append([None] * N_HASHES)
+                continue
+            h = np.asarray(arr, dtype=np.int64)
+            m = (h[:, None] * A[None, :] + B[None, :]) % p
+            out.append(m.min(axis=0).tolist())
+        return pd.Series(out)
+
+    return sigs_np
+
+
 def _md5_long(col):
     """Cross-engine 60-bit hash: first 15 hex chars of md5 as a BIGINT.
     Spark md5 == DuckDB md5, so signatures/band keys derived this way are
@@ -193,15 +227,10 @@ def minhash_near_dup_pairs(
             "shingles",
             F.transform("shingles", lambda s: _md5_long(s) % p).alias("sh_h"),
         )
-        sigs = F.transform(
-            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("sh_h"),
-                    lambda h: (h * ((i * 2654435761) % p + 1) + i * 40503 + 7) % p,
-                )
-            ),
-        )
+        # md5 per shingle stays JVM-side (cross-engine exact); the 16
+        # universal hashes + mins run as one numpy kernel per doc
+        # (identical values - see _minhash_sigs_np)
+        sigs = _minhash_sigs_np()(F.col("sh_h"))
         bands = F.transform(
             F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
             lambda b: _md5_long(
@@ -232,23 +261,29 @@ def minhash_near_dup_pairs(
                 b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
             ),
         )
-    # materialize the signatures BEFORE the band posexplode: Generate
-    # inlines and re-evaluates its expression per exploded element, so
-    # without this barrier the 16 array_min signature scans run once per
-    # band (8x) instead of once per doc. This is also the shingle table
-    # the verification joins back to.
-    with_sigs = barrier(grams.withColumn("sigs", sigs), "minhash_sigs")
+    # materialize signatures AND the per-doc band-key array in ONE
+    # barrier BEFORE the band posexplode: Generate inlines and
+    # re-evaluates its expression per exploded element, so without the
+    # barrier the 16 array_min signature scans would run once per band
+    # (8x) instead of once per doc. Computing the band keys here (a
+    # per-doc 8-element array) instead of barriering the exploded rows
+    # separately saves one whole materialization job + one copy of the
+    # data in executor storage (round-7: two barriers -> one); the
+    # explode below reads checkpointed arrays, so re-scanning it costs
+    # only the explode itself, never the signature math. This is also
+    # the shingle table the verification joins back to.
+    with_sigs = barrier(
+        grams.withColumn("sigs", sigs).withColumn("bands", bands),
+        "minhash_sigs",
+    )
     # SKINNY band rows (round-2 verdict): (lemma, band_idx, band_hash)
     # only - the shingle array no longer rides the 8-way explode, the
     # bucket-cap join, or either side of the candidate self-join (~8x of
     # array payload off the biggest shuffles). Candidates fetch shingles
     # once per surviving pair side via the join-back below; same result
     # set by construction.
-    banded = barrier(
-        with_sigs.select(
-            "lemma", F.posexplode(bands).alias("band_idx", "band_hash")
-        ),
-        "minhash_bands",
+    banded = with_sigs.select(
+        "lemma", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     # skew-capped in-bucket pairs in ONE shuffle of the band rows
     # (round-6 verdict #1; see linking.capped_bucket_pairs)
@@ -261,6 +296,12 @@ def minhash_near_dup_pairs(
         lambda a, b: a.cast("long") < b.cast("long"),
         MAX_BUCKET,
     ).select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    # barrier the candidate set BEFORE deriving cand_keys: without it the
+    # heaviest stage (capped bucket shuffle + pair explode + dedup, plus
+    # the hot-key guard agg feeding its anti-join) runs TWICE - once for
+    # the semi-join that builds minhash_verify_sh and again in the final
+    # verification join (round-6 advice, medium)
+    cand = barrier(cand, "minhash_cand")
     # semi-join reduction before the per-side joins: one shuffle of the
     # fat shingle table instead of two (see linking.lsh_candidate_pairs)
     cand_keys = cand.select(

@@ -83,11 +83,23 @@ def _shingles(col):
     )
 
 
+def _bands_expr():
+    """Per-key band-key array: hash of each band's signature slice."""
+    rows_per_band = N_HASHES // N_BANDS
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.hash(
+            b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+
+
 def shingle_table(
     df: DataFrame,
     key: str = "lemma",
     ckpt_name: str | None = None,
     assume_distinct: bool = False,
+    with_bands: bool = False,
 ) -> DataFrame:
     """One row per key: (key, shingles, sigs) - the MinHash signature
     table. Materialized (barrier) because it feeds both the band explode
@@ -117,7 +129,15 @@ def shingle_table(
             F.transform(F.col("shingles"), lambda s: F.hash(s, i))
         ),
     )
-    return barrier(with_sh.withColumn("sigs", sigs), ckpt_name or f"lsh_sigs_{key}")
+    out = with_sh.withColumn("sigs", sigs)
+    if with_bands:
+        # band keys as a per-key 8-element array INSIDE the same
+        # materialization: callers then posexplode the checkpointed
+        # array instead of barriering the exploded rows separately -
+        # one materialization job and one executor-storage copy fewer
+        # per LSH invocation (round-7)
+        out = out.withColumn("bands", _bands_expr())
+    return barrier(out, ckpt_name or f"lsh_sigs_{key}")
 
 
 def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
@@ -135,14 +155,12 @@ def _band_rows(
 ) -> DataFrame:
     """Band rows (key, band_idx, band_hash) - skinny by default; ``keep``
     names extra sig-table columns to carry (e.g. ``("sigs",)`` when the
-    in-bucket pair explode applies the signature-agreement gate)."""
-    rows_per_band = N_HASHES // N_BANDS
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-        lambda b: F.hash(
-            b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
-        ),
-    )
+    in-bucket pair explode applies the signature-agreement gate).
+
+    When ``sig_table`` already carries a materialized ``bands`` array
+    (``shingle_table(with_bands=True)``), the explode reads it straight
+    from the checkpoint; otherwise the band keys are computed inline."""
+    bands = F.col("bands") if "bands" in sig_table.columns else _bands_expr()
     return sig_table.select(
         key, *keep, F.posexplode(bands).alias("band_idx", "band_hash")
     )
@@ -258,15 +276,17 @@ def lsh_candidate_pairs(
     - an extra ~0.5% miss at the exact threshold, in exchange for
     dropping the quadratic accidental-candidate term a small shingle
     universe produces)."""
-    sig_table = shingle_table(entities, key, assume_distinct=assume_distinct)
-    # materialize the band rows ONCE before the bucket shuffle: keeps
-    # the 8-way band hashing out of the exchange's re-execution scope
-    # (and, in durable mode, a resumable stage). Rows carry the 16-int
-    # signature for the in-explode agreement gate (~4x the skinny row,
-    # still far below the shingle payload the round-2 plan carried).
-    banded = barrier(
-        _band_rows(sig_table, key, keep=("sigs",)), f"lsh_bands_{key}"
+    sig_table = shingle_table(
+        entities, key, assume_distinct=assume_distinct, with_bands=True
     )
+    # band rows derive from the sig-table checkpoint (bands are a
+    # materialized per-key array there), so no second barrier is needed:
+    # re-scanning this plan costs only the posexplode, never the
+    # signature/band hashing (round-7: two barriers -> one). Rows carry
+    # the 16-int signature for the in-explode agreement gate (~4x the
+    # skinny row, still far below the shingle payload the round-2 plan
+    # carried).
+    banded = _band_rows(sig_table, key, keep=("sigs",))
     # skew-capped in-bucket pairs in ONE fat shuffle, accidental pairs
     # killed by the agreement gate inside the explode
     cand = capped_bucket_pairs(
@@ -278,6 +298,12 @@ def lsh_candidate_pairs(
         pair_pred=lambda a, b: sig_agreement(a["sigs"], b["sigs"])
         >= F.lit(MIN_SIG_AGREE),
     ).select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+    # barrier the candidate set BEFORE deriving cand_keys: without it the
+    # heaviest stage (capped bucket shuffle + pair explode + dedup) runs
+    # TWICE - once for the semi-join that builds lsh_verify_sh and again
+    # in the final verification join (round-6 advice, medium; the
+    # streaming merge path already checkpoints cand for the same reason)
+    cand = barrier(cand, f"lsh_cand_{key}")
     # verification join-back: shingles fetched once per surviving
     # candidate side, not once per band row. The candidate set is
     # typically sparse relative to the corpus, so the FAT shingle table
