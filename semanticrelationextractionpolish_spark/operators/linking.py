@@ -331,6 +331,60 @@ def lsh_candidate_pairs(
     )
 
 
+# graphs at or below this many RAW edge rows take the driver-local
+# union-find fast path inside connected_components: the row count is
+# known EXACTLY (measured by the input-materialization job) before the
+# collect, so the pull is bounded by construction (~tens of MB at the
+# cap, far under spark.driver.maxResultSize) - while the distributed
+# star-contraction loop costs O(log n) driver-synced rounds of
+# join+agg jobs, pure fixed overhead on a small graph (measured: the
+# 50k-page linking graph has ~12 edges and paid ~1.8 s of round jobs;
+# the sf0.01 oracle graph ~11k edges paid ~8 s). Above the cap the
+# loop runs exactly as before - the 100 TB path is unchanged.
+SMALL_GRAPH_MAX_EDGES = 500_000
+
+
+def _union_find_components(rows) -> dict:
+    """Driver-local min-label components over (s, d) rows - the exact
+    semantics of the star-contraction fixed point: nodes are every
+    endpoint (self-loops and None included), edges are rows with two
+    non-None endpoints and s != d, labels are the component minimum."""
+    parent: dict = {}
+    has_null = False
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in rows:
+        if s is None or d is None:
+            has_null = True
+        for v in (s, d):
+            if v is not None and v not in parent:
+                parent[v] = v
+        if s is None or d is None or s == d:
+            continue
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    labels = {x: comp_min[find(x)] for x in list(parent)}
+    if has_null:
+        # the distinct node universe keeps a null endpoint as a node;
+        # null never equi-joins, so it labels itself (comp = NULL)
+        labels[None] = None
+    return labels
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -339,6 +393,7 @@ def connected_components(
     on_nonconverged: str = "raise",
     ckpt_scope: str = "cc",
     result_barrier: bool = False,
+    small_graph_max_edges: int = SMALL_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """Alternating large-star/small-star contraction -> (id, comp).
 
@@ -423,6 +478,36 @@ def connected_components(
         {"n_raw": F.sum((F.col("s") != F.col("d")).cast("long"))},
     )
     n_raw = m["n_raw"] or 0
+    if n_raw <= small_graph_max_edges:
+        # driver-local union-find: the exact same (id, min-reachable)
+        # labels, one collect of a table whose size was just measured,
+        # zero iterative rounds. n_raw counts non-self-loop rows, so
+        # pure-self-loop inputs also land here (they would converge
+        # immediately anyway).
+        from pyspark.sql import types as T
+
+        labels = _union_find_components(
+            [(r[0], r[1]) for r in raw.collect()]
+        )
+        id_type = raw.schema["s"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type, True),
+                T.StructField("comp", id_type, True),
+            ]
+        )
+        spark = edges.sparkSession
+        result = spark.createDataFrame(
+            list(labels.items()), schema
+        )
+        if result_barrier:
+            result = result.localCheckpoint(eager=True)
+        release(raw)
+        log.info(
+            "connected_components: small-graph fast path (%d raw edges)",
+            n_raw,
+        )
+        return result
     n_part = max(2, min(int(n_raw / 100_000) + 1, 2048))
     # node universe: self-loops / isolated endpoints must still receive
     # a label even though star contraction drops u==v edges (computed

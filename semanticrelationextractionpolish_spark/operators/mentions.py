@@ -2,17 +2,30 @@
 
 The reference never materializes a mention table (mentions live as
 parallel label arrays); the linking stage needs one. Derived relationally
-so it stays inside whole-stage codegen:
+so it stays inside whole-stage codegen.
 
-    posexplode(zip(entities, entity_ids, tokens))
-      -> filter mention tokens
-      -> groupBy (url, sent_idx, entity_id): span extent = min/max pos
-         (the reference's list.index / max-idx scan, readers.py:341-343)
-      -> surface = detokenized slice, lemma = rule-based normalizer
+Round-7 plan: ZERO-shuffle derivation. The entities/entity_ids/tokens
+arrays are parallel arrays WITHIN each sentence row, so every mention's
+span extent, class, surface and lemma are computable per row with array
+higher-order functions - the previous posexplode -> groupBy(url,
+sent_idx, entity_id) -> collect_list(struct) plan shuffled ~0.5M skinny
+rows and rebuilt with an ObjectHashAggregate exactly the grouping the
+input row already had (measured at 50k pages: 14.0 s first run / 0.9 s
+warm for the explode+groupBy plan vs 0.6 s / 0.3 s for this one, output
+row-set identical via exceptAll both ways). At 100 TB the difference is
+a full shuffle of the mention universe vs an embarrassingly parallel
+map over the sentence scan.
 
-The groupBy shuffles on (url, sent_idx, entity_id) with map-side partial
-aggregation; at 100 TB this is the first (and a cheap, high-cardinality,
-well-spread) shuffle of the pipeline.
+Semantics notes vs the old groupBy plan:
+
+* pieces arrive in position order (the old plan array_sorted the
+  collected (pos, token) structs - same order);
+* entity_class comes from the mention's FIRST position (the old plan's
+  ``F.first`` picked an arbitrary arriving row; IOB classes are
+  constant within a mention, so the value is the same - this form is
+  additionally deterministic by construction);
+* a repeated entity_id with non-contiguous positions still yields ONE
+  mention spanning min..max position, exactly like the groupBy.
 """
 
 from __future__ import annotations
@@ -33,42 +46,41 @@ def detok_col(tokens_col):
 
 
 def mentions_from_sentences(sentences: DataFrame) -> DataFrame:
-    # Shuffle hygiene: only mention tokens survive the explode (the filter
-    # runs map-side before the groupBy exchange), and each row carries its
-    # OWN token string - never the whole sentence array. The mention's
-    # surface is reassembled from the collected (pos, token) pieces.
-    exploded = (
-        sentences.select(
-            "url",
-            "sent_idx",
-            F.posexplode(
-                F.arrays_zip("entities", "entity_ids", "tokens")
-            ).alias("pos", "z"),
+    ids = F.col("entity_ids")
+    n = F.size(ids)
+    uniq = F.array_distinct(F.filter(ids, lambda x: x.isNotNull()))
+
+    def mk(eid):
+        positions = F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.element_at(ids, i + 1) == eid,
         )
-        .where(F.col("z.entity_ids").isNotNull())
+        pieces = F.transform(
+            positions, lambda i: F.element_at(F.col("tokens"), i + 1)
+        )
+        cls = F.regexp_replace(
+            F.element_at(F.col("entities"), F.element_at(positions, 1) + 1),
+            "^[BI]-",
+            "",
+        )
+        return F.struct(
+            eid.alias("entity_id"),
+            cls.alias("entity_class"),
+            F.array_min(positions).alias("beg"),
+            F.array_max(positions).alias("end"),
+            detok_col(pieces).alias("surface"),
+        )
+
+    return (
+        sentences.select("url", "sent_idx", F.explode(F.transform(uniq, mk)).alias("m"))
         .select(
             "url",
             "sent_idx",
-            "pos",
-            F.col("z.tokens").alias("token"),
-            F.col("z.entity_ids").alias("entity_id"),
-            F.regexp_replace(F.col("z.entities"), "^[BI]-", "").alias("entity_class"),
+            F.col("m.entity_id").alias("entity_id"),
+            F.col("m.entity_class").alias("entity_class"),
+            F.col("m.beg").alias("beg"),
+            F.col("m.end").alias("end"),
+            F.col("m.surface").alias("surface"),
+            lemma_col(F.col("m.surface")).alias("lemma"),
         )
-    )
-    spans = exploded.groupBy("url", "sent_idx", "entity_id").agg(
-        F.first("entity_class").alias("entity_class"),
-        F.min("pos").alias("beg"),
-        F.max("pos").alias("end"),
-        F.array_sort(F.collect_list(F.struct("pos", "token"))).alias("pieces"),
-    )
-    surface = detok_col(F.transform("pieces", lambda p: p["token"]))
-    return spans.select(
-        "url",
-        "sent_idx",
-        "entity_id",
-        "entity_class",
-        "beg",
-        "end",
-        surface.alias("surface"),
-        lemma_col(surface).alias("lemma"),
     )

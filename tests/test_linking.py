@@ -100,9 +100,13 @@ def test_connected_components_nonconvergence_is_loud(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "src long, dst long"
     )
+    # small_graph_max_edges=0 forces the distributed loop (the
+    # driver-local fast path would solve this 39-edge chain exactly)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
-    labels = connected_components(edges, max_iter=1, on_nonconverged="warn")
+        connected_components(edges, max_iter=1, small_graph_max_edges=0)
+    labels = connected_components(
+        edges, max_iter=1, on_nonconverged="warn", small_graph_max_edges=0
+    )
     assert labels.count() == 40  # best-effort labels for every node
 
 
@@ -136,6 +140,31 @@ def test_connected_components_matches_union_find(spark):
     edges = spark.createDataFrame(raw, "src long, dst long")
     comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert comp == expected
+
+
+def test_connected_components_fast_path_matches_loop(spark):
+    """The round-7 driver-local small-graph fast path must label
+    EXACTLY like the distributed star-contraction loop - same graph,
+    both paths, including self-loops and string ids."""
+    import random
+
+    rnd = random.Random(11)
+    raw = [
+        (f"e{rnd.randrange(120)}", f"e{rnd.randrange(120)}")
+        for _ in range(150)
+    ] + [("loop", "loop"), ("iso1", "iso1")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    fast = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, ckpt_scope="ccf").collect()
+    }
+    slow = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            edges, ckpt_scope="ccs", small_graph_max_edges=0
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 0
 
 
 def test_capped_bucket_pairs_one_shuffle_equivalence(spark):
