@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -31,6 +32,7 @@ _SUFFIX_RE = re.compile(f"(?:{_SUFFIXES})$")
 _MIN_STEM = 4
 
 
+@lru_cache(maxsize=200_000)
 def lemma_token(token: str) -> str:
     """Lowercase, NFC-normalize, strip one inflectional suffix (keeping at
     least ``_MIN_STEM`` chars so short words pass through unchanged)."""
@@ -43,7 +45,11 @@ def lemma_token(token: str) -> str:
     return stripped
 
 
+@lru_cache(maxsize=200_000)
 def lemma_phrase(phrase: str) -> str:
+    # both levels memoized (pure functions; surfaces and their words
+    # repeat heavily in real corpora): phrase hits skip the split, word
+    # hits skip the NFC+regex (round-7, guide §4.5)
     return " ".join(lemma_token(t) for t in phrase.split() if t)
 
 

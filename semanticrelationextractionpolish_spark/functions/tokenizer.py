@@ -67,8 +67,18 @@ def _split_word(word: str, word_initial: bool) -> list[str]:
 class DeterministicTokenizer:
     """Drop-in for the reference tokenizer's bpemb/scheme_1 configuration."""
 
+    # bounded per-instance memo of the no-kwargs tokenize path: the
+    # tokenizer is a pure function of its input string, and real corpora
+    # (and the synthetic template corpus especially) re-tokenize the
+    # same inter-entity slices constantly. ~100 B/entry; cleared
+    # wholesale at the cap so a pathological vocabulary cannot grow the
+    # worker's memory unboundedly (round-7, guide §4.5: amortize
+    # per-task work across the batch iterator).
+    _MEMO_CAP = 200_000
+
     def __init__(self, lowercase: bool = True, positional_scheme: str = "scheme_1"):
         self.lowercase = lowercase
+        self._memo: dict[str, tuple[list[str], list[int]]] = {}
         self.special_token_ids = dict(SPECIAL_TOKEN_IDS)
         # scheme_2 markers '$'/'#' (readers.py:57-60): the reference maps
         # them to the BERT vocab's ORDINARY '$'/'#' token ids - mirrored
@@ -98,14 +108,26 @@ class DeterministicTokenizer:
             out.extend(_split_word(m.group(0), word_initial))
         return out
 
-    def tokenize(self, doc: str, **kwargs) -> dict:
+    def _tokenize_base(self, doc: str) -> tuple[list[str], list[int]]:
         tokens = self._pieces(doc)
         # punctuation fix (readers.py:88-101): lone '▁.' / '▁,' collapse
         if tokens == [WORD_MARKER + "."]:
             tokens = ["."]
         if tokens == [WORD_MARKER + ","]:
             tokens = [","]
-        token_ids = [_stable_id(t) for t in tokens]
+        return tokens, [_stable_id(t) for t in tokens]
+
+    def tokenize(self, doc: str, **kwargs) -> dict:
+        if not kwargs:
+            hit = self._memo.get(doc)
+            if hit is None:
+                hit = self._tokenize_base(doc)
+                if len(self._memo) >= self._MEMO_CAP:
+                    self._memo.clear()
+                self._memo[doc] = hit
+            # fresh lists: callers extend/mutate the returned arrays
+            return {"tokens": list(hit[0]), "token_ids": list(hit[1])}
+        tokens, token_ids = self._tokenize_base(doc)
         if kwargs.get("enclose_e1") is True:  # readers.py:102-104
             tokens = ["<e1>"] + tokens + ["</e1>"]
             token_ids = (
