@@ -39,8 +39,31 @@ from pyspark.sql import functions as F
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 
+# tables whose queries do heavy MAP-SIDE compute (text/hash/vector
+# kernels) before any exchange; the relational tables' queries start
+# with a shuffle, which spreads the work on its own
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # The test tables are SINGLE parquet files with ONE row group
+    # (verified via pyarrow metadata), so Spark's range-splitting cannot
+    # parallelize the scan: a kernel-heavy query's scan + fused map work
+    # ran as one task regardless of core count (measured: the minhash
+    # signature stage at sf0.1 ran 2 tasks on 32 cores). Guide §2.5
+    # "input skew: one huge unsplittable file -> repartition immediately
+    # after the read" - applied ONLY to the tables with per-row kernel
+    # work (an A/B showed the relational queries lose the added
+    # exchange's cost without gaining parallelism their first shuffle
+    # didn't already provide). Scale-adaptive: when the input has at
+    # least as many files as the session has cores (any real
+    # deployment), this is a no-op - no shuffle is added at scale.
+    if name in _SPREAD_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if len(df.inputFiles()) < par:
+            df = df.repartition(par)
+    return df
 
 
 def _fixture_tag(sf_dir: str) -> str:
@@ -396,7 +419,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["broadcast_dim_join"] = q_broadcast_dim_join
 
     def q_pair_selfjoin_capped(spark, sf):  # J5 + O3: capped pair explosion
-        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        # materialize the distinct ONCE: Catalyst plans the two aliased
+        # self-join sides as two independent scan+shuffle+agg subtrees
+        # (no ReusedExchange fires - verified in the executed plan,
+        # round-7), so without the checkpoint the 600k-row distinct ran
+        # twice per action
+        li = (
+            _t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         a = li.select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1")
         )

@@ -141,38 +141,84 @@ def ngram_jaccard_pairs(
 MERSENNE_P = (1 << 31) - 1  # modulus of the cross-engine sig-hash family
 
 
-def _minhash_sigs_np():
-    """Vectorized MinHash signatures for the md5 family: per doc,
-    min over shingle hashes of the 16 universal hashes
-    ((h*a_i + b_i) mod p). Bit-identical to the Column formulation
-    (operands < 2^31, products < 2^62: int64 never overflows, numpy %
-    on non-negatives == Java %), but one numpy broadcast per doc
-    instead of 16 interpreted HOF passes - measured 0.84 s -> 0.25 s
-    on the 5.7k-doc sf0.1 stage (guide §4.2). Per-ROW matmul keeps the
-    (n_shingles x 16) temporary cache-resident (the round-6 simhash
-    finding: batch-flat vectorization goes memory-bound)."""
-    from .linking import N_HASHES
+def _minhash_md5_kernel(n: int):
+    """mapInPandas kernel computing the ENTIRE md5 minhash signature
+    block per doc from its token array - value-identical to the JVM
+    Column formulation it replaces (and to the DuckDB oracle):
+
+    * shingles: first-occurrence-distinct word ``n``-grams
+      (dict.fromkeys == array_distinct order);
+    * sh_h: int(md5(s)[:15hex], 16) % p - hashlib md5 of UTF-8 bytes ==
+      Spark/DuckDB md5; 15 hex chars < 2^60 fit an int64;
+    * sigs: min over shingles of (h*a_i + b_i) % p for the 16 universal
+      hashes - operands < 2^31, products < 2^62: int64 never wraps and
+      numpy % on non-negatives == Java %; one numpy broadcast per doc
+      (per-ROW, keeping the (n_shingles x 16) temporary cache-resident
+      - the round-6 simhash finding: batch-flat goes memory-bound);
+      empty docs yield [NULL]*16 exactly like array_min(empty);
+    * bands: md5 of ``"{b}|{sig,sig}"`` - for empty docs the JVM
+      array_join SKIPS null sigs (no null replacement), producing
+      ``"{b}|"``, mirrored here.
+    """
+    import hashlib
+
+    from .linking import N_BANDS, N_HASHES
 
     p = MERSENNE_P
+    rpb = N_HASHES // N_BANDS
     A = np.array(
         [(i * 2654435761) % p + 1 for i in range(N_HASHES)], dtype=np.int64
     )
     B = np.array([i * 40503 + 7 for i in range(N_HASHES)], dtype=np.int64)
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def sigs_np(col: pd.Series) -> pd.Series:
-        out = []
-        for arr in col:
-            if arr is None or len(arr) == 0:
-                # mirror array_min(empty) -> NULL per signature slot
-                out.append([None] * N_HASHES)
-                continue
-            h = np.asarray(arr, dtype=np.int64)
-            m = (h[:, None] * A[None, :] + B[None, :]) % p
-            out.append(m.min(axis=0).tolist())
-        return pd.Series(out)
+    def _h15(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
-    return sigs_np
+    def kernel(batches):
+        for pdf in batches:
+            out_sh, out_sigs, out_bands = [], [], []
+            for toks in pdf["toks"]:
+                toks = list(toks)
+                if len(toks) - (n - 1) < 1:
+                    shingles = []
+                else:
+                    shingles = list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - (n - 1))
+                        )
+                    )
+                out_sh.append(shingles)
+                if not shingles:
+                    sigs = [None] * N_HASHES
+                    sig_strs = [""] * N_BANDS
+                else:
+                    h = np.fromiter(
+                        (_h15(s) % p for s in shingles),
+                        dtype=np.int64,
+                        count=len(shingles),
+                    )
+                    m = (h[:, None] * A[None, :] + B[None, :]) % p
+                    mins = m.min(axis=0)
+                    sigs = mins.tolist()
+                    sig_strs = [
+                        ",".join(str(v) for v in sigs[b * rpb : b * rpb + rpb])
+                        for b in range(N_BANDS)
+                    ]
+                out_sigs.append(sigs)
+                out_bands.append(
+                    [_h15(f"{b}|{sig_strs[b]}") for b in range(N_BANDS)]
+                )
+            yield pd.DataFrame(
+                {
+                    "lemma": pdf["lemma"],
+                    "shingles": out_sh,
+                    "sigs": out_sigs,
+                    "bands": out_bands,
+                }
+            )
+
+    return kernel
 
 
 def _md5_long(col):
@@ -202,52 +248,38 @@ def minhash_near_dup_pairs(
         F.col("doc_id").cast("string").alias("lemma"),
         F.split(_norm(F.col(text_col)), " ").alias("toks"),
     )
-    cnt = F.size("toks") - (n - 1)
-    shingles = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
-        )
-    )
-    grams = toks_df.select("lemma", F.array_distinct(shingles).alias("shingles"))
-    # reuse the band join but with precomputed word shingles: inline a
-    # variant here to avoid re-shingling characters
     from .linking import MAX_BUCKET, N_BANDS, N_HASHES
 
     rows_per_band = N_HASHES // N_BANDS
     if hash_fn == "md5":
-        # ONE md5 per shingle, then a universal-hash family
-        # ((h*a_i + b_i) mod p, p = 2^31-1) for the 16 signatures: all
-        # operands < 2^31 so the products never overflow a BIGINT -
-        # Java's wrapping multiply and DuckDB's checked multiply agree,
-        # which is what makes the oracle recompute identical signatures.
-        p = MERSENNE_P
-        grams = grams.select(
-            "lemma",
-            "shingles",
-            F.transform("shingles", lambda s: _md5_long(s) % p).alias("sh_h"),
-        )
-        # md5 per shingle stays JVM-side (cross-engine exact); the 16
-        # universal hashes + mins run as one numpy kernel per doc
-        # (identical values - see _minhash_sigs_np)
-        sigs = _minhash_sigs_np()(F.col("sh_h"))
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-            lambda b: _md5_long(
-                F.concat(
-                    b.cast("string"),
-                    F.lit("|"),
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    ),
-                )
+        # the WHOLE md5 signature block (shingling, md5 hashing, the
+        # 16-hash universal family + mins, band keys) runs as ONE
+        # mapInPandas kernel: hashlib.md5 == Spark md5 == DuckDB md5,
+        # integer ops are exact (see _minhash_md5_kernel for the
+        # per-step JVM-semantics mirror), so the values are identical -
+        # but the round-6 plan needed four codegen'd JVM stages with
+        # interpreted HOFs (~1.1 s warm at sf0.1, plus their one-shot
+        # compile in a fresh JVM); the kernel does it in one Python pass
+        # (~0.25 s) with only (lemma, toks) crossing the boundary
+        # (guide §4.2).
+        sig_block = toks_df.mapInPandas(
+            _minhash_md5_kernel(n),
+            schema=(
+                "lemma string, shingles array<string>, "
+                "sigs array<long>, bands array<long>"
             ),
         )
     else:
+        cnt = F.size("toks") - (n - 1)
+        shingles = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+            )
+        )
+        grams = toks_df.select(
+            "lemma", F.array_distinct(shingles).alias("shingles")
+        )
         # single nested-HOF signature expression (see linking.add_minhash_bands)
         sigs = F.transform(
             F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
@@ -261,6 +293,7 @@ def minhash_near_dup_pairs(
                 b, F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band)
             ),
         )
+        sig_block = grams.withColumn("sigs", sigs).withColumn("bands", bands)
     # materialize signatures AND the per-doc band-key array in ONE
     # barrier BEFORE the band posexplode: Generate inlines and
     # re-evaluates its expression per exploded element, so without the
@@ -272,10 +305,9 @@ def minhash_near_dup_pairs(
     # explode below reads checkpointed arrays, so re-scanning it costs
     # only the explode itself, never the signature math. This is also
     # the shingle table the verification joins back to.
-    with_sigs = barrier(
-        grams.withColumn("sigs", sigs).withColumn("bands", bands),
-        "minhash_sigs",
-    )
+    from .materialize import barrier_with_count
+
+    with_sigs, n_docs = barrier_with_count(sig_block, "minhash_sigs")
     # SKINNY band rows (round-2 verdict): (lemma, band_idx, band_hash)
     # only - the shingle array no longer rides the 8-way explode, the
     # bucket-cap join, or either side of the candidate self-join (~8x of
@@ -296,21 +328,35 @@ def minhash_near_dup_pairs(
         lambda a, b: a.cast("long") < b.cast("long"),
         MAX_BUCKET,
     ).select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-    # barrier the candidate set BEFORE deriving cand_keys: without it the
-    # heaviest stage (capped bucket shuffle + pair explode + dedup, plus
-    # the hot-key guard agg feeding its anti-join) runs TWICE - once for
-    # the semi-join that builds minhash_verify_sh and again in the final
-    # verification join (round-6 advice, medium)
-    cand = barrier(cand, "minhash_cand")
-    # semi-join reduction before the per-side joins: one shuffle of the
-    # fat shingle table instead of two (see linking.lsh_candidate_pairs)
-    cand_keys = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("lemma")
-    ).dropDuplicates()
-    sh = barrier(
-        with_sigs.select("lemma", "shingles").join(cand_keys, "lemma", "left_semi"),
-        "minhash_verify_sh",
-    )
+    from .linking import SMALL_SIG_TABLE_KEYS
+
+    if n_docs <= SMALL_SIG_TABLE_KEYS:
+        # size-adaptive verification (round-7, mirrors
+        # linking.lsh_candidate_pairs): on a small corpus the candidate
+        # barrier + key semi-join + verify-table barrier are two extra
+        # materialization jobs protecting re-scans cheaper than the
+        # jobs; without the semi-join there is no second consumer of
+        # the candidate plan, so nothing executes twice. Identical
+        # result set - the reduction only pre-dropped rows the inner
+        # joins drop anyway.
+        sh = with_sigs.select("lemma", "shingles")
+    else:
+        # barrier the candidate set BEFORE deriving cand_keys: without
+        # it the heaviest stage (capped bucket shuffle + pair explode +
+        # dedup, plus the hot-key guard agg feeding its anti-join) runs
+        # TWICE - once for the semi-join that builds minhash_verify_sh
+        # and again in the final verification join (round-6 advice,
+        # medium); then one semi-join cuts the fat shingle table to
+        # candidate keys so the per-side joins shuffle candidate-sized
+        # tables only
+        cand = barrier(cand, "minhash_cand")
+        cand_keys = cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("lemma")
+        ).dropDuplicates()
+        sh = barrier(
+            with_sigs.select("lemma", "shingles").join(cand_keys, "lemma", "left_semi"),
+            "minhash_verify_sh",
+        )
     cand = cand.join(
         sh.select(F.col("lemma").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",

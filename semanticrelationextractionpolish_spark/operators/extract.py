@@ -18,14 +18,34 @@ from pyspark.sql.functions import pandas_udf
 _ARTICLE_RE = r"(?s)<article>(.*)</article>"
 
 
-@pandas_udf(T.StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
+def extract_series(html: pd.Series) -> pd.Series:
+    """The extraction kernel body on a pandas Series of html bytes ->
+    object Series of extracted text (str or None). Shared by the
+    column UDF below and the fused segment kernel
+    (``segment.segment_and_tag(from_html=True)``) so both paths are
+    byte-identical by construction."""
     decoded = html.map(lambda b: b.decode("utf-8", errors="replace"), na_action="ignore")
     decoded = decoded.astype("string")
     payload = decoded.str.extract(_ARTICLE_RE, expand=False)
-    # fallback for pages without the wrapper: strip all tags
-    stripped = decoded.str.replace(r"(?s)<[^>]+>", " ", regex=True).str.strip()
-    return payload.fillna(stripped).astype(object)
+    # fallback for pages without the wrapper: strip all tags - computed
+    # ONLY for the rows that need it (the tag-strip regex over full
+    # documents is the expensive path; running it on every row just to
+    # fillna threw the work away for wrapped pages)
+    miss = payload.isna() & decoded.notna()
+    if miss.any():
+        payload = payload.copy()
+        payload[miss] = (
+            decoded[miss]
+            .str.replace(r"(?s)<[^>]+>", " ", regex=True)
+            .str.strip()
+        )
+    # plain python str / None cells (callers truth-test the values)
+    return payload.astype(object).where(payload.notna(), None)
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return extract_series(html)
 
 
 def extract(pages: DataFrame, validate: bool = False) -> DataFrame:

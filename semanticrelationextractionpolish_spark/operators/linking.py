@@ -66,6 +66,15 @@ DEFAULT_JACCARD = 0.42
 # SAME predicate so stream==batch equality is preserved.
 MIN_SIG_AGREE = 4
 
+# key universes at or below this size skip the LSH verification
+# reduction stages (candidate barrier + key semi-join + verify-table
+# barrier): at small scale those are two extra materialization jobs
+# protecting against re-scans that cost less than the jobs themselves,
+# while above the cap the round-6 reduction shape is exactly right.
+# The count is free - it rides the signature-table materialization as
+# an Observation (materialize.barrier_with_count).
+SMALL_SIG_TABLE_KEYS = 200_000
+
 
 def sig_agreement(sigs_a, sigs_b):
     """Number of equal positions between two minhash signature arrays."""
@@ -117,6 +126,18 @@ def shingle_table(
     hides that from Catalyst's RemoveRedundantAggregates rule - the
     defensive distinct then costs a real full shuffle of the lemma set
     (round-6 verdict #1, persist audit)."""
+    return barrier(
+        _shingle_plan(df, key, assume_distinct, with_bands),
+        ckpt_name or f"lsh_sigs_{key}",
+    )
+
+
+def _shingle_plan(
+    df: DataFrame, key: str, assume_distinct: bool, with_bands: bool
+) -> DataFrame:
+    """The un-barriered shingle/signature plan behind ``shingle_table``
+    (callers that need the materialization's row count ride it with
+    ``materialize.barrier_with_count``)."""
     keyed = df.select(key) if assume_distinct else df.select(key).distinct()
     with_sh = keyed.withColumn("shingles", _shingles(F.col(key)))
     # one nested-HOF expression for all N_HASHES signatures (instead of N
@@ -137,7 +158,7 @@ def shingle_table(
         # one materialization job and one executor-storage copy fewer
         # per LSH invocation (round-7)
         out = out.withColumn("bands", _bands_expr())
-    return barrier(out, ckpt_name or f"lsh_sigs_{key}")
+    return out
 
 
 def add_minhash_bands(df: DataFrame, key: str = "lemma") -> DataFrame:
@@ -276,8 +297,11 @@ def lsh_candidate_pairs(
     - an extra ~0.5% miss at the exact threshold, in exchange for
     dropping the quadratic accidental-candidate term a small shingle
     universe produces)."""
-    sig_table = shingle_table(
-        entities, key, assume_distinct=assume_distinct, with_bands=True
+    from .materialize import barrier_with_count
+
+    sig_table, n_keys = barrier_with_count(
+        _shingle_plan(entities, key, assume_distinct, with_bands=True),
+        f"lsh_sigs_{key}",
     )
     # band rows derive from the sig-table checkpoint (bands are a
     # materialized per-key array there), so no second barrier is needed:
@@ -298,26 +322,37 @@ def lsh_candidate_pairs(
         pair_pred=lambda a, b: sig_agreement(a["sigs"], b["sigs"])
         >= F.lit(MIN_SIG_AGREE),
     ).select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
-    # barrier the candidate set BEFORE deriving cand_keys: without it the
-    # heaviest stage (capped bucket shuffle + pair explode + dedup) runs
-    # TWICE - once for the semi-join that builds lsh_verify_sh and again
-    # in the final verification join (round-6 advice, medium; the
-    # streaming merge path already checkpoints cand for the same reason)
-    cand = barrier(cand, f"lsh_cand_{key}")
-    # verification join-back: shingles fetched once per surviving
-    # candidate side, not once per band row. The candidate set is
-    # typically sparse relative to the corpus, so the FAT shingle table
-    # is first cut to candidate keys with ONE semi-join (one shuffle of
-    # the fat rows) and the small result barriered; the two per-side
-    # joins then shuffle only candidate-sized tables (the round-5 shape
-    # shuffled the full shingle table twice, once per side).
-    cand_keys = (
-        cand.select(F.explode(F.array("a", "b")).alias(key)).dropDuplicates()
-    )
-    sh = barrier(
-        sig_table.select(key, "shingles").join(cand_keys, key, "left_semi"),
-        f"lsh_verify_sh_{key}",
-    )
+    if n_keys <= SMALL_SIG_TABLE_KEYS:
+        # size-adaptive verification (round-7): on a small key universe
+        # the semi-join reduction machinery is pure fixed overhead (two
+        # extra materialization jobs for a table that two direct scans
+        # of the checkpoint cover), and with no second consumer of the
+        # candidate plan there is no double execution to barrier
+        # against - the candidate subtree appears ONCE in the final
+        # plan. Joins run straight against the checkpointed sig table
+        # (AQE broadcasts it at these sizes). Result set identical by
+        # construction: the semi-join only pre-filtered rows the inner
+        # joins drop anyway.
+        sh = sig_table.select(key, "shingles")
+    else:
+        # barrier the candidate set BEFORE deriving cand_keys: without
+        # it the heaviest stage (capped bucket shuffle + pair explode +
+        # dedup) runs TWICE - once for the semi-join that builds
+        # lsh_verify_sh and again in the final verification join
+        # (round-6 advice, medium; the streaming merge path checkpoints
+        # cand for the same reason). Then cut the FAT shingle table to
+        # candidate keys with ONE semi-join (one shuffle of the fat
+        # rows) and barrier the small result; the two per-side joins
+        # then shuffle only candidate-sized tables (the round-5 shape
+        # shuffled the full shingle table twice, once per side).
+        cand = barrier(cand, f"lsh_cand_{key}")
+        cand_keys = (
+            cand.select(F.explode(F.array("a", "b")).alias(key)).dropDuplicates()
+        )
+        sh = barrier(
+            sig_table.select(key, "shingles").join(cand_keys, key, "left_semi"),
+            f"lsh_verify_sh_{key}",
+        )
     cand = cand.join(
         sh.select(F.col(key).alias("a"), F.col("shingles").alias("sh_a")), "a"
     ).join(sh.select(F.col(key).alias("b"), F.col("shingles").alias("sh_b")), "b")

@@ -62,6 +62,27 @@ def barrier(df: DataFrame, name: str) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def barrier_with_count(df: DataFrame, name: str) -> tuple[DataFrame, int]:
+    """``barrier`` + exact row count in ONE job: in local-checkpoint
+    mode an Observation's metrics are delivered by the eager
+    materialization action itself; in durable mode the barrier may be a
+    resume-read that runs no action (Observation.get would block
+    forever), so the count falls back to one cheap column-pruned scan
+    of the checkpoint parquet. Lets callers pick size-adaptive plan
+    shapes (e.g. skip reduction stages on small inputs) without an
+    extra counting job (round-7; same pattern as connected_components'
+    input materialization)."""
+    spark = df.sparkSession
+    if spark.conf.get(BARRIER_CONF, None) is not None:
+        out = barrier(df, name)
+        return out, out.count()
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    return out, obs.get["n"]
+
+
 def release(df: DataFrame) -> bool:
     """Free the executor-storage blocks behind a ``localCheckpoint``
     barrier once EVERY consumer has run its action.

@@ -30,17 +30,32 @@ def segment_and_tag(
     text_col: str = "text",
     entity_encoding_scheme: str = "iob",
     use_entity_classes: bool = True,
+    from_html: bool = False,
 ) -> DataFrame:
     """pages -> SENTENCES (url, sent_idx, sent_text, tokens, token_ids,
-    entities, entity_ids, n_entities)."""
+    entities, entity_ids, n_entities).
+
+    ``from_html=True`` fuses HTML->text extraction (the exact
+    ``extract.extract_text_udf`` semantics, byte-identical) into this
+    kernel: ``text_col`` then names the binary html column. Without the
+    fusion the extracted text crosses the JVM<->Python Arrow boundary
+    twice more than necessary (UDF out, kernel in) - ~2 extra copies of
+    the full corpus text moved and transposed per run (round-7, guide
+    §4.1: you control how many columns cross, and how often).
+    """
     cols = ["url", text_col]
     src = pages.select(*cols)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .extract import extract_series
+
         tokenizer = DeterministicTokenizer()
         for pdf in batches:
+            texts = (
+                extract_series(pdf[text_col]) if from_html else pdf[text_col]
+            )
             out = {k.name: [] for k in schemas.SENTENCES.fields}
-            for url, text in zip(pdf["url"], pdf[text_col]):
+            for url, text in zip(pdf["url"], texts):
                 if not text:
                     continue
                 for sent_idx, sent in enumerate(sent_tokenize(text)):

@@ -69,10 +69,15 @@ def build_kg(
     # language filter FIRST - a catalyst-pushable predicate that prunes
     # ~x% of the scan before any Python runs (F1 in SURVEY.md §2.2)
     pl_pages = obs(pages.where(F.col("lang") == lang), "pages_kept")
+    # the "extracted" stage stays exposed for callers/tests, but the
+    # sentence chain uses the FUSED extract+segment kernel: same
+    # byte-identical extraction (shared extract_series body), one
+    # JVM<->Python Arrow crossing of the corpus text instead of three
+    # (round-7, guide §4.1)
     extracted = extract(pl_pages)
     sentences = ckpt(
         obs(
-            segment_and_tag(extracted, text_col="extracted_text"),
+            segment_and_tag(pl_pages, text_col="html", from_html=True),
             "sentences",
             F.sum("n_entities").alias("n_entity_mentions"),
         ),

@@ -72,6 +72,26 @@ def _warm_session(spark: SparkSession) -> None:
             .agg(F.count(F.lit(1)).alias("n"), F.max("s").alias("mx"))
             .write.format("noop").mode("overwrite").save()
         )
+        # generator + object agg + array HOFs + regex/hash exprs: the
+        # operator classes the NLP/dedup queries lean on (JIT warm, one
+        # tiny job)
+        arr = F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: F.concat(F.col("s"), i.cast("string")),
+        )
+        (
+            base.where(F.col("id") % 16 == 0)
+            .select("k", "s", F.posexplode(arr).alias("i", "piece"))
+            .withColumn("g", F.regexp_replace("piece", r"[0-9]+$", ""))
+            .withColumn("h", F.conv(F.substring(F.md5("piece"), 1, 15), 16, 10))
+            .groupBy("k")
+            .agg(
+                F.collect_list(F.struct("i", "piece")).alias("ps"),
+                F.min("h").alias("mn"),
+            )
+            .select("k", F.size(F.array_distinct(F.transform(F.col("ps"), lambda p: p["piece"]))).alias("n"))
+            .write.format("noop").mode("overwrite").save()
+        )
         # parquet writer + reader (footer decode, vectorized reader)
         with tempfile.TemporaryDirectory(prefix="semrex_warm_") as td:
             p = os.path.join(td, "w.parquet")

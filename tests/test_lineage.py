@@ -127,16 +127,23 @@ def test_barrier_durable_checkpoint_kill_resume(spark, tmp_path):
     spark.conf.set("spark.semrex.checkpointDir", ck)
     try:
         pairs1 = sorted(map(tuple, DD.minhash_near_dup_pairs(docs).collect()))
+        # round-7 layout: signatures AND band-key arrays live in ONE
+        # merged checkpoint (minhash_sigs); the separate minhash_bands
+        # stage no longer exists
         sigs_success = os.path.join(ck, "minhash_sigs", "_SUCCESS")
         assert os.path.exists(sigs_success)
-        assert os.path.exists(os.path.join(ck, "minhash_bands", "_SUCCESS"))
         mtime = os.path.getmtime(sigs_success)
-        # simulate the kill: signature stage completed, band stage lost
-        shutil.rmtree(os.path.join(ck, "minhash_bands"))
+        # intact re-run: the completed checkpoint is reused untouched
         pairs2 = sorted(map(tuple, DD.minhash_near_dup_pairs(docs).collect()))
         assert pairs1 == pairs2
         assert os.path.getmtime(sigs_success) == mtime  # reused, not rewritten
-        assert os.path.exists(os.path.join(ck, "minhash_bands", "_SUCCESS"))
+        # simulate the kill: signature stage died mid-write (_SUCCESS
+        # missing, part files left) - the re-run must rewrite it to
+        # completion and still produce identical pairs
+        os.remove(sigs_success)
+        pairs3 = sorted(map(tuple, DD.minhash_near_dup_pairs(docs).collect()))
+        assert pairs1 == pairs3
+        assert os.path.exists(sigs_success)
     finally:
         spark.conf.unset("spark.semrex.checkpointDir")
 
