@@ -39,30 +39,36 @@ from pyspark.sql import functions as F
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 
-# tables whose queries do heavy MAP-SIDE compute (text/hash/vector
-# kernels) before any exchange; the relational tables' queries start
-# with a shuffle, which spreads the work on its own
-_SPREAD_TABLES = {"documents", "embeddings"}
+# tables whose queries do heavy MAP-SIDE compute before any exchange
+# and measurably benefit from pre-spreading the unsplittable test scans
+# (isolated-rep A/B at sf0.1: cosine_topk 0.83 -> 0.37 s with the
+# embeddings spread; the documents-table queries were mixed - the
+# dedup kernels' per-row work is too cheap to beat the added exchange
+# (exact_dedup +0.27 s, simhash +0.45 s) so documents is spread only
+# inside the one query where it measurably wins, quality_score)
+_SPREAD_TABLES = {"embeddings"}
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition an unsplittable small scan across the session's
+    cores. The test tables are SINGLE parquet files with ONE row group
+    (pyarrow metadata), so Spark's range-splitting cannot parallelize
+    the scan: a kernel-heavy query's scan + fused map work ran as one
+    task regardless of core count. Guide §2.5: "one huge unsplittable
+    file -> repartition immediately after the read". Scale-adaptive:
+    with >= cores input files (any real deployment) this is a no-op -
+    no shuffle is added at scale."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < par:
+        df = df.repartition(par)
+    return df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # The test tables are SINGLE parquet files with ONE row group
-    # (verified via pyarrow metadata), so Spark's range-splitting cannot
-    # parallelize the scan: a kernel-heavy query's scan + fused map work
-    # ran as one task regardless of core count (measured: the minhash
-    # signature stage at sf0.1 ran 2 tasks on 32 cores). Guide §2.5
-    # "input skew: one huge unsplittable file -> repartition immediately
-    # after the read" - applied ONLY to the tables with per-row kernel
-    # work (an A/B showed the relational queries lose the added
-    # exchange's cost without gaining parallelism their first shuffle
-    # didn't already provide). Scale-adaptive: when the input has at
-    # least as many files as the session has cores (any real
-    # deployment), this is a no-op - no shuffle is added at scale.
     if name in _SPREAD_TABLES:
-        par = spark.sparkContext.defaultParallelism
-        if len(df.inputFiles()) < par:
-            df = df.repartition(par)
+        df = _spread(df)
     return df
 
 
@@ -633,8 +639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from semanticrelationextractionpolish_spark.operators import textstats as TS
 
     q["token_count"] = lambda spark, sf: TS.token_count(_t(spark, sf, "documents"))
+    # quality_score is the one documents query whose interpreted-HOF map
+    # work is heavy enough that spreading the single-file scan wins
+    # (0.51 -> 0.32 s isolated warm; see _spread)
     q["quality_score"] = lambda spark, sf: TS.quality_score(
-        _t(spark, sf, "documents")
+        _spread(_t(spark, sf, "documents"))
     )
     q["lang_id"] = lambda spark, sf: TS.lang_id(_t(spark, sf, "documents"))
     q["fingerprint"] = lambda spark, sf: TS.fingerprint(_t(spark, sf, "documents"))
