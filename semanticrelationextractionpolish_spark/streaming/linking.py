@@ -94,6 +94,21 @@ def pick_assign_buckets(expected_lemmas: int) -> int:
     return b
 
 
+def _ckpt_with_count(df: DataFrame):
+    """Eager localCheckpoint + exact row count in ONE job (the
+    Observation's metrics are delivered by the checkpoint action) -
+    lets the merge branch on empty deltas without extra counting jobs
+    (round-7; same pattern as materialize.barrier_with_count, local
+    mode only: stream state durability is the store's job)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    return out, obs.get["n"]
+
+
 def merge_mentions_batch(
     spark: SparkSession,
     batch_mentions: DataFrame,
@@ -213,69 +228,90 @@ def merge_mentions_batch(
     # stream==batch equality requires the identical predicate.
     from ..operators.linking import MIN_SIG_AGREE, sig_agreement
 
-    cand = cand_ck = cand.localCheckpoint(eager=True)
-    cand_keys = cand.select(F.explode(F.array("a", "b")).alias("lemma")).dropDuplicates()
-    sh = (
-        all_sigs.select("lemma", "shingles", "sigs")
-        .join(cand_keys, "lemma", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    cand = cand.join(
-        sh.select(
-            F.col("lemma").alias("a"),
-            F.col("shingles").alias("sh_a"),
-            F.col("sigs").alias("sig_a"),
-        ),
-        "a",
-    ).join(
-        sh.select(
-            F.col("lemma").alias("b"),
-            F.col("shingles").alias("sh_b"),
-            F.col("sigs").alias("sig_b"),
-        ),
-        "b",
-    )
-    cand = cand.where(sig_agreement(F.col("sig_a"), F.col("sig_b")) >= F.lit(MIN_SIG_AGREE))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    new_edges = (
-        cand.where(inter / F.greatest(union, F.lit(1)) >= F.lit(jaccard))
-        .select("a", "b")
-        .localCheckpoint(eager=True)
-    )
+    cand, n_cand = _ckpt_with_count(cand)
+    cand_ck = cand
+    sh = None
+    if n_cand == 0:
+        # empty-delta short-circuit (round-7): no candidate pair means
+        # the verification output is empty BY CONSTRUCTION - skip the
+        # key semi-join, the verify-table checkpoint and the two joins
+        # (three jobs) and append the empty edge segment directly. The
+        # common steady-state batch (no new near-duplicates) pays none
+        # of the verify machinery; the count rides the candidate
+        # checkpoint as an Observation (zero extra jobs).
+        new_edges = spark.createDataFrame([], EDGES_SCHEMA)
+        n_new_edges = 0
+    else:
+        cand_keys = cand.select(F.explode(F.array("a", "b")).alias("lemma")).dropDuplicates()
+        sh = (
+            all_sigs.select("lemma", "shingles", "sigs")
+            .join(cand_keys, "lemma", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cand = cand.join(
+            sh.select(
+                F.col("lemma").alias("a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("sigs").alias("sig_a"),
+            ),
+            "a",
+        ).join(
+            sh.select(
+                F.col("lemma").alias("b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("sigs").alias("sig_b"),
+            ),
+            "b",
+        )
+        cand = cand.where(sig_agreement(F.col("sig_a"), F.col("sig_b")) >= F.lit(MIN_SIG_AGREE))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        new_edges, n_new_edges = _ckpt_with_count(
+            cand.where(inter / F.greatest(union, F.lit(1)) >= F.lit(jaccard))
+            .select("a", "b")
+        )
     store.append_batch("edges", new_edges, batch_id)
 
     # --- incremental component merge -------------------------------------
     prev = store.read("assignments", ASSIGN_SCHEMA).select("lemma", "canonical")
-    rep_of = lambda side: F.coalesce(F.col(f"canon_{side}"), F.col(side))
-    rep_edges = (
-        new_edges.join(
-            prev.select(
-                F.col("lemma").alias("a"), F.col("canonical").alias("canon_a")
-            ),
-            "a",
-            "left",
+    comp = None
+    if n_new_edges:
+        rep_of = lambda side: F.coalesce(F.col(f"canon_{side}"), F.col(side))
+        rep_edges = (
+            new_edges.join(
+                prev.select(
+                    F.col("lemma").alias("a"), F.col("canonical").alias("canon_a")
+                ),
+                "a",
+                "left",
+            )
+            .join(
+                prev.select(
+                    F.col("lemma").alias("b"), F.col("canonical").alias("canon_b")
+                ),
+                "b",
+                "left",
+            )
+            .select(rep_of("a").alias("ra"), rep_of("b").alias("rb"))
+            .where(F.col("ra") != F.col("rb"))
+            .dropDuplicates(["ra", "rb"])
         )
-        .join(
-            prev.select(
-                F.col("lemma").alias("b"), F.col("canonical").alias("canon_b")
-            ),
-            "b",
-            "left",
+        # star contraction over REPRESENTATIVES only: cost follows this
+        # batch's new edges + the components they touch, not the full
+        # graph. result_barrier: the stream runs one CC per micro-batch
+        # for the session's whole lifetime - CC's internal barriers must
+        # not outlive the batch (released inside; comp's block below)
+        comp = connected_components(
+            rep_edges, "ra", "rb", ckpt_scope=f"inc_cc_b{batch_id}",
+            result_barrier=True,
         )
-        .select(rep_of("a").alias("ra"), rep_of("b").alias("rb"))
-        .where(F.col("ra") != F.col("rb"))
-        .dropDuplicates(["ra", "rb"])
-    )
-    # star contraction over REPRESENTATIVES only: cost follows this
-    # batch's new edges + the components they touch, not the full graph
-    # result_barrier: the stream runs one CC per micro-batch for the
-    # session's whole lifetime - CC's internal barriers must not
-    # outlive the batch (released inside; comp's own block below)
-    comp = connected_components(
-        rep_edges, "ra", "rb", ckpt_scope=f"inc_cc_b{batch_id}",
-        result_barrier=True,
-    )
+    # else: empty-delta short-circuit (round-7) - zero verified new
+    # edges cannot relabel anything: the representative joins, the CC
+    # call and its input materialization (measured ~2-2.5 s/batch even
+    # on an empty delta: two joins against the state-sized assignments
+    # table just to produce zero rep_edges) are skipped, and the
+    # relabel below degenerates to canonical = rep, which is exactly
+    # what an empty comp table produces through coalesce.
 
     merged = store.read("lemmas", LEMMAS_SCHEMA).groupBy("lemma").agg(
         F.sum("n_mentions").alias("n_mentions")
@@ -284,13 +320,17 @@ def merge_mentions_batch(
         merged.select("lemma")
         .join(prev, "lemma", "left")
         .withColumn("rep", F.coalesce("canonical", "lemma"))
-        .join(
+    )
+    if comp is not None:
+        assignments = assignments.join(
             comp.select(F.col("id").alias("rep"), "comp"), "rep", "left"
+        ).select("lemma", F.coalesce("comp", "rep").alias("canonical"))
+    else:
+        assignments = assignments.select(
+            "lemma", F.col("rep").alias("canonical")
         )
-        .select(
-            "lemma",
-            F.coalesce("comp", "rep").alias("canonical"),
-        )
+    assignments = (
+        assignments
         .select("lemma", F.xxhash64("canonical").alias("node_id"), "canonical")
         .localCheckpoint(eager=True)
     )
@@ -301,14 +341,16 @@ def merge_mentions_batch(
     # (comp != id); every other lemma's (canonical, node_id) is
     # reproduced bit-for-bit by the recompute above, which is the
     # replace_buckets correctness contract.
-    changed = new_lemmas.select("lemma").unionByName(
-        prev.join(
-            comp.where(F.col("id") != F.col("comp")).select(
-                F.col("id").alias("canonical")
-            ),
-            "canonical",
-        ).select("lemma")
-    )
+    changed = new_lemmas.select("lemma")
+    if comp is not None:
+        changed = changed.unionByName(
+            prev.join(
+                comp.where(F.col("id") != F.col("comp")).select(
+                    F.col("id").alias("canonical")
+                ),
+                "canonical",
+            ).select("lemma")
+        )
     # bucket count: explicit arg > the state's committed value > default.
     # Sticky-by-default keeps repeat/replayed batches on the SAME
     # bucketing (a drifting count would migrate-rewrite every bucket and
@@ -330,7 +372,8 @@ def merge_mentions_batch(
     from ..operators.materialize import release
 
     for df in (new_sigs, new_bands, touched, cand_ck, sh, new_edges, comp):
-        release(df)
+        if df is not None:
+            release(df)
     return assignments
 
 

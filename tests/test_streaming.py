@@ -884,3 +884,42 @@ def test_spread_widens_skinny_batches_only(spark):
     wide = spark.range(1000).repartition(cores + 3)
     out = _spread(wide, spark)
     assert out is wide  # untouched: no repartition node added
+
+
+def test_merge_empty_delta_short_circuit_then_relabel(spark, tmp_path):
+    """Round-7 empty-delta short-circuit: a batch with no candidate
+    pairs must produce self-assignments and an EMPTY edges segment
+    without running the verify/CC machinery, and a later batch that
+    introduces a near-duplicate must still relabel the earlier lemma -
+    proving the short-circuited state is indistinguishable from the
+    full-path state."""
+    from semanticrelationextractionpolish_spark.streaming.linking import (
+        merge_mentions_batch,
+    )
+    from semanticrelationextractionpolish_spark.streaming.state import (
+        read_state_table,
+    )
+
+    state = str(tmp_path / "state")
+    # batch 0: pairwise-dissimilar lemmas -> no candidates at all
+    b0 = spark.createDataFrame(
+        [("alfa",  "Alfa"), ("gamma", "Gamma"), ("omikron", "Omikron")],
+        "lemma string, surface string",
+    )
+    a0 = merge_mentions_batch(spark, b0, state, batch_id=0)
+    got0 = {(r["lemma"], r["canonical"]) for r in a0.collect()}
+    assert got0 == {("alfa", "alfa"), ("gamma", "gamma"), ("omikron", "omikron")}
+    edges0 = read_state_table(spark, state, "edges")
+    assert edges0.count() == 0  # empty segment still appended
+    # batch 1: a near-duplicate of 'omikron' -> candidate + verified
+    # edge + relabel of the existing lemma through the CC path
+    b1 = spark.createDataFrame(
+        [("omikrona", "Omikrona")], "lemma string, surface string"
+    )
+    a1 = merge_mentions_batch(spark, b1, state, batch_id=1)
+    got1 = {(r["lemma"], r["canonical"]) for r in a1.collect()}
+    assert ("omikrona", "omikron") in got1 or ("omikron", "omikron") in got1
+    # both variants must share one canonical
+    canon = {c for (l, c) in got1 if l in ("omikron", "omikrona")}
+    assert len(canon) == 1
+    assert read_state_table(spark, state, "edges").count() == 1
