@@ -106,6 +106,17 @@ def _warm_session(spark: SparkSession) -> None:
             return x + 1
 
         base.select(_incr("id")).write.format("noop").mode("overwrite").save()
+
+        # mapInPandas is a separate exec path (MapInPandasExec) from the
+        # scalar-UDF ArrowEvalPython above - warm it too (the NLP/dedup
+        # kernels all run through it)
+        def _ident(batches):
+            for pdf in batches:
+                yield pdf[["id"]]
+
+        base.mapInPandas(_ident, schema="id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
     except Exception:  # warmup is best-effort, never fail session build
         pass
     finally:
