@@ -425,16 +425,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["broadcast_dim_join"] = q_broadcast_dim_join
 
     def q_pair_selfjoin_capped(spark, sf):  # J5 + O3: capped pair explosion
-        # materialize the distinct ONCE: Catalyst plans the two aliased
+        # compute the distinct ONCE: Catalyst plans the two aliased
         # self-join sides as two independent scan+shuffle+agg subtrees
         # (no ReusedExchange fires - verified in the executed plan,
-        # round-7), so without the checkpoint the 600k-row distinct ran
-        # twice per action
+        # round-7). A lazy persist makes both sides share one
+        # InMemoryRelation - single computation within the action, no
+        # extra eager job, and (unlike a localCheckpoint) the blocks
+        # are evictable and recomputable, so repeated invocations in a
+        # long-lived session cannot pin storage
         li = (
             _t(spark, sf, "lineitem")
             .select("l_orderkey", "l_partkey")
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
         a = li.select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1")

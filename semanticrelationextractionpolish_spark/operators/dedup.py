@@ -178,7 +178,10 @@ def _minhash_md5_kernel(n: int):
         for pdf in batches:
             out_sh, out_sigs, out_bands = [], [], []
             for toks in pdf["toks"]:
-                toks = list(toks)
+                # NULL text -> null token array -> Arrow None: mirror
+                # the JVM path (null shingles never verify as pairs;
+                # sigs [NULL]*16, bands md5("b|")) instead of raising
+                toks = [] if toks is None else list(toks)
                 if len(toks) - (n - 1) < 1:
                     shingles = []
                 else:
@@ -307,7 +310,14 @@ def minhash_near_dup_pairs(
     # the shingle table the verification joins back to.
     from .materialize import barrier_with_count
 
-    with_sigs, n_docs = barrier_with_count(sig_block, "minhash_sigs")
+    # checkpoint name VERSIONED (v2): the round-7 schema adds the
+    # per-doc bands array. A durable-mode resume of a pre-round-7
+    # "minhash_sigs" checkpoint (no bands column) would fail the
+    # posexplode below; under the new name such a dir simply has no
+    # _SUCCESS, so the stage recomputes fresh - cross-version resume
+    # degrades to recompute instead of crashing, and within-version
+    # kill-resume keeps its stable name.
+    with_sigs, n_docs = barrier_with_count(sig_block, "minhash_sigs_v2")
     # SKINNY band rows (round-2 verdict): (lemma, band_idx, band_hash)
     # only - the shingle array no longer rides the 8-way explode, the
     # bucket-cap join, or either side of the candidate self-join (~8x of
@@ -366,8 +376,18 @@ def minhash_near_dup_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # greatest(union, 1): two EMPTY-shingle docs (null/blank text - a
+    # guaranteed population at web scale) share every band key and
+    # reach verification with union == 0; under ANSI mode the bare
+    # division crashed the task (latent pre-round-7 bug surfaced by
+    # the null-text kernel test). 0/1 = 0 < threshold, so such pairs
+    # are dropped exactly like the oracle drops them (NaN compare),
+    # and every union > 0 pair is numerically unchanged. Same guard
+    # as linking.lsh_candidate_pairs.
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        cand.withColumn(
+            "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6)
+        )
         .where(F.col("jaccard") >= jaccard)
         .select(
             F.col("doc_a").cast("long").alias("doc_a"),

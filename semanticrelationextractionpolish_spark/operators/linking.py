@@ -510,10 +510,17 @@ def connected_components(
     raw, m = _materialize(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d")),
         f"{ckpt_scope}_input",
-        {"n_raw": F.sum((F.col("s") != F.col("d")).cast("long"))},
+        {
+            "n_raw": F.sum((F.col("s") != F.col("d")).cast("long")),
+            "n_total": F.count(F.lit(1)),
+        },
     )
     n_raw = m["n_raw"] or 0
-    if n_raw <= small_graph_max_edges:
+    # the fast-path gate must bound the COLLECT, so it uses the total
+    # row count (self-loop and null-endpoint rows are pulled too); the
+    # non-self-loop count only sizes the loop's partitioning
+    n_total = m["n_total"] or 0
+    if n_total <= small_graph_max_edges:
         # driver-local union-find: the exact same (id, min-reachable)
         # labels, one collect of a table whose size was just measured,
         # zero iterative rounds. n_raw counts non-self-loop rows, so

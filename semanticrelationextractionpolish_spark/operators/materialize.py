@@ -62,6 +62,19 @@ def barrier(df: DataFrame, name: str) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def local_checkpoint_with_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Eager localCheckpoint + exact row count in ONE job (the
+    Observation's metrics are delivered by the checkpoint action
+    itself) - the local-mode half of ``barrier_with_count``, shared
+    with the streaming merge which always checkpoints locally (state
+    durability is the store's job)."""
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    return out, obs.get["n"]
+
+
 def barrier_with_count(df: DataFrame, name: str) -> tuple[DataFrame, int]:
     """``barrier`` + exact row count in ONE job: in local-checkpoint
     mode an Observation's metrics are delivered by the eager
@@ -76,11 +89,7 @@ def barrier_with_count(df: DataFrame, name: str) -> tuple[DataFrame, int]:
     if spark.conf.get(BARRIER_CONF, None) is not None:
         out = barrier(df, name)
         return out, out.count()
-    obs = Observation()
-    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=True
-    )
-    return out, obs.get["n"]
+    return local_checkpoint_with_count(df)
 
 
 def release(df: DataFrame) -> bool:

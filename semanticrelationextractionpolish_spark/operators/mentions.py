@@ -25,7 +25,14 @@ Semantics notes vs the old groupBy plan:
   constant within a mention, so the value is the same - this form is
   additionally deterministic by construction);
 * a repeated entity_id with non-contiguous positions still yields ONE
-  mention spanning min..max position, exactly like the groupBy.
+  mention spanning min..max position, exactly like the groupBy;
+* DUPLICATE (url, sent_idx) input rows (e.g. an un-deduped re-crawl
+  feeding the same url twice) now yield one mention row per sentence
+  row, where the old groupBy would have merged the two crawls' token
+  positions into a single garbage span. Every in-engine source emits
+  unique (url, sent_idx), so pipeline output is unchanged; for
+  duplicated inputs the per-row behavior is the defensible one (and
+  matches the per-annotation oracle counts).
 """
 
 from __future__ import annotations

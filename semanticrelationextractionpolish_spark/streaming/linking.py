@@ -95,18 +95,13 @@ def pick_assign_buckets(expected_lemmas: int) -> int:
 
 
 def _ckpt_with_count(df: DataFrame):
-    """Eager localCheckpoint + exact row count in ONE job (the
-    Observation's metrics are delivered by the checkpoint action) -
-    lets the merge branch on empty deltas without extra counting jobs
-    (round-7; same pattern as materialize.barrier_with_count, local
-    mode only: stream state durability is the store's job)."""
-    from pyspark.sql import Observation
+    """Eager localCheckpoint + exact row count in ONE job - lets the
+    merge branch on empty deltas without extra counting jobs (round-7;
+    shared implementation in materialize, local mode only: stream
+    state durability is the store's job)."""
+    from ..operators.materialize import local_checkpoint_with_count
 
-    obs = Observation()
-    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=True
-    )
-    return out, obs.get["n"]
+    return local_checkpoint_with_count(df)
 
 
 def merge_mentions_batch(

@@ -400,3 +400,26 @@ def test_planted_embeddings_dist_partition_invariant(spark):
     for r in top.collect():
         qi = r["query_id"]
         assert 2000 + qi * 3 <= r["neighbor_id"] < 2000 + (qi + 1) * 3
+
+
+def test_minhash_md5_null_and_empty_text_rows_survive(spark):
+    """Round-7 kernel robustness: NULL/empty-text rows must flow through
+    the md5 signature kernel like the JVM expression path did (no task
+    crash; such rows never verify as pairs) and planted duplicates
+    around them must still be found."""
+    from semanticrelationextractionpolish_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "wspolny tekst bazowy z kilkoma slowami tutaj"),
+            (2, "wspolny tekst bazowy z kilkoma slowami tutaj"),
+            (3, None),
+            (4, ""),
+            (5, "zupelnie inna tresc dokumentu piata"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dup_pairs(docs, jaccard=0.9, hash_fn="md5").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}

@@ -115,8 +115,6 @@ def test_barrier_durable_checkpoint_kill_resume(spark, tmp_path):
     parquet stage checkpoints: a re-run after a mid-job kill reuses the
     completed shingle/signature checkpoint untouched and recomputes only
     the lost stage (round-2 verdict item #3)."""
-    import shutil
-
     from semanticrelationextractionpolish_spark.operators import dedup as DD
 
     docs = spark.createDataFrame(
@@ -128,9 +126,9 @@ def test_barrier_durable_checkpoint_kill_resume(spark, tmp_path):
     try:
         pairs1 = sorted(map(tuple, DD.minhash_near_dup_pairs(docs).collect()))
         # round-7 layout: signatures AND band-key arrays live in ONE
-        # merged checkpoint (minhash_sigs); the separate minhash_bands
-        # stage no longer exists
-        sigs_success = os.path.join(ck, "minhash_sigs", "_SUCCESS")
+        # merged, version-named checkpoint (minhash_sigs_v2); the
+        # separate minhash_bands stage no longer exists
+        sigs_success = os.path.join(ck, "minhash_sigs_v2", "_SUCCESS")
         assert os.path.exists(sigs_success)
         mtime = os.path.getmtime(sigs_success)
         # intact re-run: the completed checkpoint is reused untouched
