@@ -119,6 +119,17 @@ def release(df: DataFrame) -> bool:
         plan.rdd().unpersist(False)
         return True
     except Exception:  # py4j surface drift - releasing is best-effort
+        # but never SILENT: if a Spark upgrade changes the plan surface,
+        # every release quietly becoming a no-op reinstates the
+        # unbounded block-accumulation leak in long-running streams
+        # (round-6 advice) - log so the leak-gate failure has a cause
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "release(): localCheckpoint block release failed "
+            "(py4j/plan surface drift?) - blocks stay pinned",
+            exc_info=True,
+        )
         return False
 
 

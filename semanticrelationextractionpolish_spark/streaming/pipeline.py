@@ -166,6 +166,7 @@ def stream_kg(
     available_now: bool = True,
     max_files_per_trigger: int = 8,
     batch_metrics: list | None = None,
+    n_assign_buckets: int | None = None,
 ):
     """Full continuous KG construction - the north-rule pipeline in
     streaming form. Every micro-batch of new pages:
@@ -220,7 +221,17 @@ def stream_kg(
         ).parquet(os.path.join(output_dir, "triples", f"batch_id={batch_id}"))
         t2 = _time.time()
         assignments = merge_mentions_batch(
-            spark, mentions_from_sentences(sents), state_dir, batch_id=batch_id
+            spark,
+            mentions_from_sentences(sents),
+            state_dir,
+            batch_id=batch_id,
+            # size the assignment bucketing from expected corpus scale
+            # (pick_assign_buckets) on a FRESH state dir; None keeps
+            # the state's committed count. Without this plumb a state
+            # created through stream_kg was permanently stuck at the
+            # 32-bucket default - the multi-GB-per-bucket rewrite
+            # pathology at large corpus scale (round-6 advice)
+            n_assign_buckets=n_assign_buckets,
         )
         # the batch is fully committed (triples parquet + state
         # manifest) - release this batch's pinned blocks so a stream
