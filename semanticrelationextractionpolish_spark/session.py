@@ -108,15 +108,30 @@ def _warm_session(spark: SparkSession) -> None:
         base.select(_incr("id")).write.format("noop").mode("overwrite").save()
 
         # mapInPandas is a separate exec path (MapInPandasExec) from the
-        # scalar-UDF ArrowEvalPython above - warm it too (the NLP/dedup
-        # kernels all run through it)
-        def _ident(batches):
-            for pdf in batches:
-                yield pdf[["id"]]
+        # scalar-UDF ArrowEvalPython above, and STRING/ARRAY Arrow
+        # serialization JITs separately from primitive columns
+        # (measured: the first string+array mapInPandas job costs ~2 s
+        # of one-shot setup that a long-only warm does not absorb, and
+        # the bench's first Python kernel query paid it). Warm the
+        # typed path the real NLP/dedup kernels use.
+        typed = base.where(F.col("id") % 4 == 0).select(
+            F.col("s").alias("lemma"),
+            F.split(F.concat(F.col("s"), F.lit(" a b c")), " ").alias("toks"),
+        )
 
-        base.mapInPandas(_ident, schema="id long").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        def _typed_kernel(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "lemma": pdf["lemma"],
+                        "n": [len(t) for t in pdf["toks"]],
+                        "arr": [list(t[:2]) for t in pdf["toks"]],
+                    }
+                )
+
+        typed.mapInPandas(
+            _typed_kernel, schema="lemma string, n long, arr array<string>"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:  # warmup is best-effort, never fail session build
         pass
     finally:
